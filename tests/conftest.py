@@ -1,0 +1,51 @@
+"""Test configuration: force an 8-device CPU mesh before JAX loads.
+
+Real-TPU behaviour is validated by bench.py / __graft_entry__.py on
+hardware; unit tests run on the CPU backend so they are hermetic and can
+exercise multi-chip sharding on a virtual mesh.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_seq(rng, n: int, n_frac: float = 0.0) -> str:
+    bases = np.array(list("ACGT"))
+    s = bases[rng.integers(0, 4, size=n)]
+    if n_frac > 0:
+        mask = rng.random(n) < n_frac
+        s[mask] = "N"
+    return "".join(s)
+
+
+def mutate(rng, seq: str, sub=0.1, ins=0.05, dele=0.05) -> str:
+    """Derive a homologous sequence (for realistic alignment paths)."""
+    out = []
+    bases = "ACGT"
+    for ch in seq:
+        r = rng.random()
+        if r < dele:
+            continue
+        if r < dele + sub:
+            out.append(bases[rng.integers(0, 4)])
+        else:
+            out.append(ch)
+        if rng.random() < ins:
+            out.append(bases[rng.integers(0, 4)])
+    if not out:
+        out.append("A")
+    return "".join(out)
