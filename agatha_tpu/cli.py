@@ -1,0 +1,116 @@
+"""Reference-compatible CLI driver.
+
+Drop-in analogue of the reference's `manual` binary
+(test_prog/test_prog.cpp + args_parser.cpp:74-89): same flags, same
+FASTA pair input convention, same stdout format
+(``score\tquery_batch_end=..\ttarget_batch_end=..``, test_prog.cpp:361-366)
+and the same raw-time file contract (one kernel-window ms per batch when
+-p is given, gasal_align.cu:219-236).
+
+Usage:
+    python -m agatha_tpu.cli [-m] [-x] [-q] [-r] [-s] [-z] [-w] [-b] [-t]
+        [-a] [-p] [-n] <query_batch.fasta> <target_batch.fasta> [raw.log]
+
+-b/-t (CUDA kernel geometry) are accepted and ignored: TPU kernel
+geometry is derived from bucket shapes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="agatha_tpu",
+        description="TPU-native guided (banded, Z-drop) extension aligner",
+    )
+    # Defaults mirror args_parser.cpp:12-25.
+    p.add_argument("-m", type=int, default=2, help="match score [2]")
+    p.add_argument("-x", type=int, default=4, help="mismatch penalty [4]")
+    p.add_argument("-q", type=int, default=4, help="gap open penalty [4]")
+    p.add_argument("-r", type=int, default=2, help="gap extension penalty [2]")
+    p.add_argument("-s", type=int, default=3, help="slice width [3]")
+    p.add_argument("-z", type=int, default=400, help="z-drop threshold [400]")
+    p.add_argument("-w", type=int, default=751, help="band width [751]")
+    p.add_argument("-b", type=int, default=256,
+                   help="(ignored on TPU) blocks per kernel")
+    p.add_argument("-t", type=int, default=256,
+                   help="(ignored on TPU) threads per block")
+    p.add_argument("-a", type=int, default=8192,
+                   help="alignments per kernel batch [8192]")
+    p.add_argument("-p", action="store_true",
+                   help="print alignment results and kernel times")
+    p.add_argument("-n", type=int, default=1,
+                   help="(ignored on TPU) CPU threads")
+    p.add_argument("--interpret", action="store_true",
+                   help="run the kernel in interpreter mode (debug)")
+    p.add_argument("query_fasta")
+    p.add_argument("target_fasta")
+    p.add_argument("raw_file", nargs="?", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from agatha_tpu.config import AlignConfig, EngineConfig
+    from agatha_tpu.engine import AlignEngine
+    from agatha_tpu.io.fasta import read_fasta_pairs
+
+    cfg = AlignConfig(
+        match=args.m,
+        mismatch=args.x,
+        gap_open=args.q,
+        gap_extend=args.r,
+        slice_width=args.s,
+        z_threshold=args.z,
+        band_width=args.w,
+    )
+    engine = AlignEngine(
+        cfg,
+        EngineConfig(aligns_per_batch=args.a),
+        interpret=args.interpret,
+    )
+
+    t_load = time.perf_counter()
+    pairs = read_fasta_pairs(args.query_fasta, args.target_fasta)
+    load_ms = (time.perf_counter() - t_load) * 1e3
+
+    encoded = engine.encode_pairs(pairs)
+    # Warm-up compile outside the timed window (the reference's timed
+    # window also excludes compilation: nvcc compiles ahead of time).
+    result = engine.align(encoded)
+
+    if args.p:
+        out = sys.stdout
+        write = out.write
+        for i in range(len(pairs)):
+            write(
+                f"{result.scores[i]}"
+                f"\tquery_batch_end={result.query_ends[i]}"
+                f"\ttarget_batch_end={result.target_ends[i]}\n"
+            )
+        if args.raw_file:
+            with open(args.raw_file, "a") as rf:
+                rf.write(f"{result.kernel_ms:.6f}\n")
+
+    print(
+        f"load time (in milliseconds): {load_ms:.3f}",
+        file=sys.stderr,
+    )
+    print(
+        f"process time (in milliseconds): {result.kernel_ms:.3f}",
+        file=sys.stderr,
+    )
+    print(
+        f"pairs={len(pairs)} buckets={result.n_buckets}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,181 @@
+"""Batched alignment engine: bucketing, dispatch, result assembly.
+
+TPU-native replacement for the reference's host-side scheduling stack:
+
+* OpenMP thread pool + 2 CUDA streams per thread + `is_free` polling
+  (test_prog.cpp:195-214, 273-374)  ->  JAX async dispatch: every
+  bucket is launched without blocking and results are gathered at the
+  end, so host packing of bucket N+1 overlaps device compute of N.
+* Uneven bucketing + subwarp rejoining (agatha_kernel.h:113, 365-408)
+  ->  host-side length bucketing: pairs are sorted by cost and grouped
+  into shape-uniform buckets, so every program in a bucket carries
+  near-equal work and the SIMT-divergence problem the reference's two
+  mechanisms fight never arises.
+* The mid-launch device->host sort round-trip (gasal_align.cu:14-18)
+  ->  eliminated: sorting happens on host before dispatch.
+
+Bucket shapes are rounded to a coarse geometric grid so the number of
+distinct compiled kernels stays small across arbitrary datasets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from agatha_tpu.config import AlignConfig, EngineConfig
+from agatha_tpu.io.fasta import SeqPair
+from agatha_tpu.ops.kernel import B_PAIRS, LANE, align_bucket
+from agatha_tpu.ops.packing import encode_padded
+
+
+def _round_shape(x: int) -> int:
+    """Round up to 128 * {1, 2, 3, 4, 6, 8, 12, ...} (geometric grid).
+
+    Bounds padding waste at 50% worst-case while keeping the set of
+    compiled kernel shapes logarithmic in the length range.  All values
+    are multiples of 128 (the kernel's lane-tile requirement).
+    """
+    if x <= LANE:
+        return LANE
+    if x <= 2 * LANE:
+        return 2 * LANE
+    p = 2 * LANE
+    while True:
+        if x <= p:
+            return p
+        if x <= p + p // 2:
+            return p + p // 2
+        p *= 2
+
+
+@dataclasses.dataclass
+class AlignmentResult:
+    """Per-pair results in input order plus engine statistics."""
+
+    scores: np.ndarray        # int32 (N,)
+    query_ends: np.ndarray    # int32 (N,)
+    target_ends: np.ndarray   # int32 (N,)
+    diags: np.ndarray         # int32 (N,) antidiagonals swept per pair
+    n_buckets: int = 0
+    kernel_ms: float = 0.0    # wall-clock of the dispatch+gather window
+
+
+@dataclasses.dataclass
+class _Bucket:
+    indices: np.ndarray       # original pair indices (n,)
+    meta: np.ndarray
+    tcodes: np.ndarray
+    qfwd: np.ndarray
+
+
+class AlignEngine:
+    """Aligns arbitrary batches of encoded pairs on the local device(s).
+
+    Reuses compiled kernels across calls (keyed on bucket shape + cfg,
+    via jax.jit's cache).
+    """
+
+    def __init__(
+        self,
+        cfg: AlignConfig,
+        engine_cfg: EngineConfig | None = None,
+        *,
+        interpret: bool = False,
+    ):
+        self.cfg = cfg
+        self.engine_cfg = engine_cfg or EngineConfig()
+        self.interpret = interpret
+
+    # -- input preparation ------------------------------------------------
+    def encode_pairs(
+        self, pairs: list[SeqPair]
+    ) -> list[tuple[np.ndarray, np.ndarray, int, int]]:
+        """FASTA pairs -> (q_codes, t_codes, qlen, rlen) with ops applied."""
+        out = []
+        for p in pairs:
+            qc = encode_padded(p.query, p.query_op)
+            tc = encode_padded(p.target, p.target_op)
+            out.append((qc, tc, len(p.query), len(p.target)))
+        return out
+
+    # -- bucketing ---------------------------------------------------------
+    def make_buckets(
+        self, encoded: list[tuple[np.ndarray, np.ndarray, int, int]]
+    ) -> list[_Bucket]:
+        n = len(encoded)
+        sw = self.cfg.slice_width
+        per_bucket = max(B_PAIRS, self.engine_cfg.aligns_per_batch)
+
+        w_need = np.empty(n, np.int64)
+        d_need = np.empty(n, np.int64)
+        for i, (_qc, _tc, ql, rl) in enumerate(encoded):
+            pql = -(-ql // 8)
+            prl = -(-rl // 8)
+            w_need[i] = prl * 8
+            tad = prl + pql - 1
+            i_end = -(-tad // sw) * sw
+            d_need[i] = 8 * i_end + 8
+
+        # Sort by sweep length (the kernel's trip count), then width:
+        # pairs sharing a program then terminate together.
+        order = np.lexsort((w_need, d_need))
+
+        buckets = []
+        for lo in range(0, n, per_bucket):
+            idx = order[lo : lo + per_bucket]
+            gb = -(-len(idx) // B_PAIRS) * B_PAIRS
+            w = _round_shape(int(w_need[idx].max()))
+            qf = _round_shape(int(d_need[idx].max()))
+            meta = np.ones((gb, 2), np.int32)
+            tcodes = np.zeros((gb, w), np.int32)
+            qfwd = np.zeros((gb, qf), np.int32)
+            for row, i in enumerate(idx):
+                qc, tc, ql, rl = encoded[i]
+                meta[row] = (ql, rl)
+                tcodes[row, : len(tc)] = tc
+                qfwd[row, : len(qc)] = qc
+            buckets.append(_Bucket(idx, meta, tcodes, qfwd))
+        return buckets
+
+    # -- dispatch ----------------------------------------------------------
+    def align(
+        self, encoded: list[tuple[np.ndarray, np.ndarray, int, int]]
+    ) -> AlignmentResult:
+        import time
+
+        n = len(encoded)
+        buckets = self.make_buckets(encoded)
+        t0 = time.perf_counter()
+        # Async dispatch: launch everything, then gather (the JAX analogue
+        # of the reference's fill-next-batch-while-previous-runs streams).
+        pending = [
+            (
+                b.indices,
+                align_bucket(
+                    b.meta, b.tcodes, b.qfwd, self.cfg,
+                    interpret=self.interpret,
+                ),
+            )
+            for b in buckets
+        ]
+        scores = np.zeros(n, np.int32)
+        qends = np.zeros(n, np.int32)
+        tends = np.zeros(n, np.int32)
+        diags = np.zeros(n, np.int32)
+        for idx, dev_out in pending:
+            out = np.asarray(dev_out)
+            k = len(idx)
+            scores[idx] = out[:k, 0]
+            qends[idx] = out[:k, 1]
+            tends[idx] = out[:k, 2]
+            diags[idx] = out[:k, 3]
+        ms = (time.perf_counter() - t0) * 1e3
+        return AlignmentResult(
+            scores, qends, tends, diags,
+            n_buckets=len(buckets), kernel_ms=ms,
+        )
+
+    def align_pairs(self, pairs: list[SeqPair]) -> AlignmentResult:
+        return self.align(self.encode_pairs(pairs))

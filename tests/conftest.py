@@ -7,15 +7,30 @@ exercise multi-chip sharding on a virtual mesh.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: the sandbox exports JAX_PLATFORMS=axon and a
+# sitecustomize that registers the axon TPU backend whenever
+# PALLAS_AXON_POOL_IPS is set, so a plain setdefault is not enough.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# sitecustomize may have imported jax already (axon register()), in
+# which case the env var above came too late; the config update wins.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+
+def pytest_configure(config):
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert len(jax.devices()) == 8, jax.devices()
 
 
 @pytest.fixture

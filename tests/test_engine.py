@@ -1,0 +1,107 @@
+"""Engine bucketing/dispatch and CLI end-to-end tests (CPU interpret)."""
+
+import subprocess
+import sys
+
+import numpy as np
+
+from agatha_tpu.config import AlignConfig, EngineConfig
+from agatha_tpu.engine import AlignEngine, _round_shape
+from agatha_tpu.io.fasta import SeqPair, write_fasta
+from agatha_tpu.ops.packing import encode_padded
+from agatha_tpu.ops.sweep import align_one_sweep
+
+from .conftest import mutate, random_seq
+
+CFG = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2)
+
+
+def test_round_shape_grid():
+    assert _round_shape(1) == 128
+    assert _round_shape(128) == 128
+    assert _round_shape(129) == 256
+    assert _round_shape(300) == 384
+    assert _round_shape(400) == 512
+    assert _round_shape(1000) == 1024
+    assert _round_shape(1100) == 1536
+    for x in [5, 130, 700, 5000, 99999]:
+        assert _round_shape(x) % 128 == 0
+        assert _round_shape(x) >= x
+
+
+def test_engine_matches_oracle_mixed_lengths(rng):
+    engine = AlignEngine(
+        CFG, EngineConfig(aligns_per_batch=8), interpret=True
+    )
+    encoded = []
+    for i in range(20):
+        ql = int(rng.integers(1, 200))
+        q = random_seq(rng, ql, 0.02)
+        t = mutate(rng, q) if i % 2 else random_seq(
+            rng, int(rng.integers(1, 200)), 0.02
+        )
+        encoded.append(
+            (encode_padded(q), encode_padded(t), len(q), len(t))
+        )
+    res = engine.align(encoded)
+    assert res.n_buckets == 3  # 20 pairs / 8 per bucket
+    for i, (qc, tc, ql, rl) in enumerate(encoded):
+        exp = align_one_sweep(qc, tc, ql, rl, CFG)
+        got = (int(res.scores[i]), int(res.query_ends[i]),
+               int(res.target_ends[i]))
+        assert got == tuple(exp), f"pair {i}"
+
+
+def test_engine_applies_seq_ops(rng):
+    """Reverse/complement ops from FASTA headers flow through encode."""
+    q = random_seq(rng, 60)
+    t = random_seq(rng, 60)
+    engine = AlignEngine(CFG, interpret=True)
+    for qop in range(4):
+        for top in range(4):
+            pairs = [SeqPair(q, t, qop, top)]
+            enc = engine.encode_pairs(pairs)
+            res = engine.align(enc)
+            exp = align_one_sweep(*enc[0], CFG)
+            assert (int(res.scores[0]), int(res.query_ends[0]),
+                    int(res.target_ends[0])) == tuple(exp)
+
+
+def test_cli_end_to_end(tmp_path, rng):
+    qs, ts, ops = [], [], []
+    for i in range(5):
+        q = random_seq(rng, 40 + 10 * i)
+        qs.append(q)
+        ts.append(mutate(rng, q))
+        ops.append(i % 4)
+    qf = tmp_path / "query.fasta"
+    tf = tmp_path / "target.fasta"
+    raw = tmp_path / "raw.log"
+    write_fasta(str(qf), qs, ops)
+    write_fasta(str(tf), ts, [0] * 5)
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "agatha_tpu.cli", "-p", "--interpret",
+         "-m", "1", "-x", "4", "-q", "6", "-r", "2",
+         str(qf), str(tf), str(raw)],
+        capture_output=True, text=True, timeout=600,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "HOME": "/root"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = proc.stdout.strip().split("\n")
+    assert len(lines) == 5
+
+    # cross-check against the oracle
+    engine = AlignEngine(CFG, interpret=True)
+    enc = engine.encode_pairs(
+        [SeqPair(qs[i], ts[i], ops[i], 0) for i in range(5)]
+    )
+    for i, line in enumerate(lines):
+        exp = align_one_sweep(*enc[i], CFG)
+        assert line == (
+            f"{exp[0]}\tquery_batch_end={exp[1]}"
+            f"\ttarget_batch_end={exp[2]}"
+        )
+    # raw file has one kernel-ms line
+    assert len(raw.read_text().strip().split("\n")) == 1
