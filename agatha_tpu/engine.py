@@ -26,7 +26,7 @@ import numpy as np
 
 from agatha_tpu.config import AlignConfig, EngineConfig
 from agatha_tpu.io.fasta import SeqPair
-from agatha_tpu.ops.kernel import B_PAIRS, LANE, align_bucket
+from agatha_tpu.ops.kernel import B_PAIRS, LANE, align_bucket, pack_nibbles
 from agatha_tpu.ops.packing import encode_padded
 
 
@@ -60,6 +60,7 @@ class AlignmentResult:
     diags: np.ndarray         # int32 (N,) antidiagonals swept per pair
     n_buckets: int = 0
     kernel_ms: float = 0.0    # wall-clock of the dispatch+gather window
+    cigars: list[str] | None = None  # when traceback was requested
 
 
 @dataclasses.dataclass
@@ -109,11 +110,13 @@ class AlignEngine:
         per_bucket = max(B_PAIRS, self.engine_cfg.aligns_per_batch)
 
         w_need = np.empty(n, np.int64)
+        q_need = np.empty(n, np.int64)
         d_need = np.empty(n, np.int64)
         for i, (_qc, _tc, ql, rl) in enumerate(encoded):
             pql = -(-ql // 8)
             prl = -(-rl // 8)
             w_need[i] = prl * 8
+            q_need[i] = pql * 8
             tad = prl + pql - 1
             i_end = -(-tad // sw) * sw
             d_need[i] = 8 * i_end + 8
@@ -127,54 +130,83 @@ class AlignEngine:
             idx = order[lo : lo + per_bucket]
             gb = -(-len(idx) // B_PAIRS) * B_PAIRS
             w = _round_shape(int(w_need[idx].max()))
-            qf = _round_shape(int(d_need[idx].max()))
+            qf = _round_shape(int(q_need[idx].max()))
             meta = np.ones((gb, 2), np.int32)
-            tcodes = np.zeros((gb, w), np.int32)
-            qfwd = np.zeros((gb, qf), np.int32)
+            tcodes = np.zeros((gb, w), np.int8)
+            qfwd = np.zeros((gb, qf), np.int8)
             for row, i in enumerate(idx):
                 qc, tc, ql, rl = encoded[i]
                 meta[row] = (ql, rl)
                 tcodes[row, : len(tc)] = tc
                 qfwd[row, : len(qc)] = qc
-            buckets.append(_Bucket(idx, meta, tcodes, qfwd))
+            buckets.append(
+                _Bucket(idx, meta, pack_nibbles(tcodes), pack_nibbles(qfwd))
+            )
         return buckets
 
     # -- dispatch ----------------------------------------------------------
     def align(
-        self, encoded: list[tuple[np.ndarray, np.ndarray, int, int]]
+        self,
+        encoded: list[tuple[np.ndarray, np.ndarray, int, int]],
+        *,
+        traceback: bool = False,
     ) -> AlignmentResult:
+        """Align all pairs; optionally compute CIGARs (new capability —
+        the reference outputs score + end positions only,
+        agatha_kernel.h:359-363)."""
         import time
+
+        import jax.numpy as jnp
 
         n = len(encoded)
         buckets = self.make_buckets(encoded)
         t0 = time.perf_counter()
-        # Async dispatch: launch everything, then gather (the JAX analogue
-        # of the reference's fill-next-batch-while-previous-runs streams).
+        # Per-bucket async dispatch (uploads overlap compute — the JAX
+        # analogue of the reference's fill-next-batch-while-previous-runs
+        # streams, test_prog.cpp:273-374), then ONE device-side concat and
+        # a single fetch (per-fetch round-trip latency dominates
+        # otherwise).
         pending = [
-            (
-                b.indices,
-                align_bucket(
-                    b.meta, b.tcodes, b.qfwd, self.cfg,
-                    interpret=self.interpret,
-                ),
+            align_bucket(
+                b.meta, b.tcodes, b.qfwd, self.cfg,
+                interpret=self.interpret,
             )
             for b in buckets
         ]
+        if len(pending) > 1:
+            all_out = np.asarray(jnp.concatenate(pending, axis=0))
+        else:
+            all_out = np.asarray(pending[0])
         scores = np.zeros(n, np.int32)
         qends = np.zeros(n, np.int32)
         tends = np.zeros(n, np.int32)
         diags = np.zeros(n, np.int32)
-        for idx, dev_out in pending:
-            out = np.asarray(dev_out)
+        row = 0
+        for b in buckets:
+            out = all_out[row : row + b.meta.shape[0]]
+            row += b.meta.shape[0]
+            idx = b.indices
             k = len(idx)
             scores[idx] = out[:k, 0]
             qends[idx] = out[:k, 1]
             tends[idx] = out[:k, 2]
             diags[idx] = out[:k, 3]
         ms = (time.perf_counter() - t0) * 1e3
+        cigars = None
+        if traceback:
+            from agatha_tpu.ops.traceback import traceback_one
+
+            cigars = [
+                traceback_one(
+                    encoded[i][0], encoded[i][1],
+                    int(qends[i]), int(tends[i]), self.cfg,
+                    expected_score=int(scores[i]),
+                )[0]
+                for i in range(n)
+            ]
         return AlignmentResult(
             scores, qends, tends, diags,
-            n_buckets=len(buckets), kernel_ms=ms,
+            n_buckets=len(buckets), kernel_ms=ms, cigars=cigars,
         )
 
     def align_pairs(self, pairs: list[SeqPair]) -> AlignmentResult:

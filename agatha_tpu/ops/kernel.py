@@ -6,9 +6,12 @@ shared-memory design, AGAThA/src/kernels/agatha_kernel.h:49-431):
 * One program instance aligns ``B_PAIRS`` pairs at once: pairs sit in the
   sublane dimension, reference rows in the lane dimension, so every VPU
   op advances B_PAIRS * W DP cells of state.
-* The DP is swept one *base* antidiagonal per ``while_loop`` iteration —
-  the only axis on which all in-flight cells are independent (the
-  reference's intra-block column/row chains serialize E/H instead).
+* The DP is swept along *base* antidiagonals — the only axis on which
+  all in-flight cells are independent (the reference's intra-block
+  column/row chains serialize E/H instead).  One ``while_loop``
+  iteration processes a full packed antidiagonal (8 base diagonals,
+  statically unrolled) so slice/chunk clipping bounds, chunk masks and
+  the query feed are hoisted and computed once per 8 steps.
 * All O(len) state (H at d-1, H at d-2, E, F) lives in VMEM as
   (B_PAIRS, W) int32 arrays carried through the loop; the reference
   keeps these as short2 strips in GPU global memory (ctors.cpp:89).
@@ -18,6 +21,9 @@ shared-memory design, AGAThA/src/kernels/agatha_kernel.h:49-431):
   host-side length bucketing + early loop exit).
 * Scoring params are compile-time constants (the reference uploads them
   to __constant__ memory, gasal_align.cu:295-309).
+* ``safe16`` fast path: when config+shape bounds prove every live DP
+  value stays inside int16 (see `int16_safe`), the int16 strip
+  truncations are identities and are compiled out.
 
 Bit-exactness contract: this kernel reproduces `ops.sweep.align_one_sweep`
 (itself cross-validated against `ops.reference_sim`) exactly, including
@@ -64,23 +70,57 @@ def _roll1(x, *, interpret: bool):
     return pltpu.roll(x, shift=1, axis=1)
 
 
-def _rollm1(x, *, interpret: bool):
-    """out[:, l] = x[:, l+1] (circular left shift by one lane)."""
+def _rollm8(x, *, interpret: bool):
+    """out[:, l] = x[:, l+8] (circular left shift by 8 lanes)."""
     if interpret:
-        return jnp.roll(x, -1, axis=1)
-    return pltpu.roll(x, shift=x.shape[1] - 1, axis=1)
+        return jnp.roll(x, -8, axis=1)
+    return pltpu.roll(x, shift=x.shape[1] - 8, axis=1)
 
 
-def _make_kernel(cfg: AlignConfig, W: int, interpret: bool):
+def int16_safe(cfg: AlignConfig, max_len: int) -> bool:
+    """True when no live DP value can leave int16 range.
+
+    Then the reference's int16 strip round-trips are identities and the
+    kernel may skip them.  Bounds (conservative):
+      * positive: best score <= match * max_len, plus the (H<<16)|r
+        packing already requires H < 2^15;
+      * negative: live cells sit within z + band*ge of the running best
+        (Z-drop fires at the next slice check otherwise), plus boundary
+        strip inits (-(goe+ge*band) floored at MINUS_INF2) and at most
+        one slice of further decay before the check runs.
+    Requires Z-drop enabled; with z < 0 scores decay without bound and
+    the reference's int16 wraparound is observable.
+    """
+    if cfg.z_threshold < 0:
+        return False
+    if cfg.match * max_len >= 32000:
+        return False
+    decay = (
+        16384
+        + cfg.z_threshold
+        + (2 * cfg.band_width + 64) * cfg.gap_extend
+        + 8 * cfg.slice_width * (cfg.mismatch + cfg.gap_oe + cfg.gap_extend)
+        + 1024
+    )
+    return decay < 32768
+
+
+def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool):
     sw, bw, z = cfg.slice_width, cfg.band_width, cfg.z_threshold
     goe, ge = cfg.gap_oe, cfg.gap_extend
     match, mism = cfg.match, cfg.mismatch
     B = B_PAIRS
     P8 = 8 * sw
 
-    def top_h(col):
-        # top-boundary H for column `col` (agatha_kernel.h:126-148); col==-1
-        # is the origin corner (topleft[0] == 0).
+    if safe16:
+        def strip16(x):
+            return x
+    else:
+        strip16 = _trunc16
+
+    def top_h(col: int | jax.Array):
+        # top-boundary H for column `col` (agatha_kernel.h:126-148);
+        # col == -1 is the origin corner (topleft[0] == 0).
         k = _trunc16(-(goe + ge * col))
         v = jnp.where(col <= bw, k, MINUS_INF2)
         return jnp.where(col < 0, 0, v)
@@ -101,8 +141,7 @@ def _make_kernel(cfg: AlignConfig, W: int, interpret: bool):
         end_p = i_end8 + 8
 
         def slice_bounds(i):
-            # banded slice clipping (agatha_kernel.h:183-186); i may be a
-            # scalar or (B,1).  ss uses C-truncating division.
+            # banded slice clipping (agatha_kernel.h:183-186)
             ss = jnp.maximum(
                 jnp.maximum(0, i - pql + 1), _ctrunc16((i << 3) + (8 - bw))
             )
@@ -114,6 +153,7 @@ def _make_kernel(cfg: AlignConfig, W: int, interpret: bool):
 
         # --- per-lane invariants ---
         r = jax.lax.broadcasted_iota(_I32, (B, W), 1)
+
         # Mosaic workaround: while-loop carries whose init is sublane-
         # replicated (pure lane-iota functions / splats) hit an invalid
         # relayout against the non-replicated body results.  Mixing in a
@@ -144,111 +184,136 @@ def _make_kernel(cfg: AlignConfig, W: int, interpret: bool):
         t_is_n = tb == N_VALUE
 
         zeros = jnp.zeros((B, 1), _I32)
+        minus_inf2 = jnp.int32(MINUS_INF2)
 
         def cond(carry):
-            d = carry[0]
+            d8 = carry[0]
             term = carry[10]
             # term is an int32 0/1 mask: Mosaic cannot carry i1 vectors
             # through scf.while.
-            return jnp.any((term == 0) & (d < end_p))
+            return jnp.any((term == 0) & (d8 < end_p))
 
         def body(carry):
-            (d, hf1, hf2, fst, est, qwin, feed, ms, mr, mq, term,
+            (d8, hf1, hf2, fst, est, qwin, feed, ms, mr, mq, term,
              diags) = carry
+            D = d8 >> 3
 
-            # --- query feed: qwin[l] = q[d - l] ---
-            # feed is a 128-lane block whose lane 0 holds q[d]; it is
-            # rotated one lane per step and reloaded (128-aligned; Mosaic
-            # requires aligned dynamic lane slices) every 128 steps.
-            da = (d >> 7) << 7
+            # --- query feed: feed[:, l] = q[d8 + l] for l in [0, 8) ---
+            # reloaded (128-aligned) every 16 iterations, left-rotated 8
+            # lanes otherwise.  Loads clamp to the query buffer: beyond
+            # qlen the fed values are garbage, but every cell that reads
+            # them has qq >= qlen and is masked off by `valid`.
+            da = (d8 >> 7) << 7
+            qf_cap = qfwd_ref.shape[1] - LANE
+            dac = jnp.minimum(da, qf_cap)
             feed = jax.lax.cond(
-                d == da,
-                lambda: qfwd_ref[:, pl.ds(pl.multiple_of(da, LANE), LANE)],
+                d8 == da,
+                lambda: qfwd_ref[:, pl.ds(pl.multiple_of(dac, LANE), LANE)],
                 lambda: feed,
             )
-            qwin = jnp.where(
-                col0, feed[:, 0:1], _roll1(qwin, interpret=interpret)
-            )
-            qb = qwin
-            a = d & 7
-            D = d >> 3
+
+            # --- hoisted per-packed-diagonal values ---
             i1 = (D // sw) * sw
             i2 = ((D - 1) // sw) * sw
             ss1, se1 = slice_bounds(i1)
             ss2, se2 = slice_bounds(i2)
+            insl_a = (pr >= ss1) & (pr <= se1)
+            insl_b = (pr >= ss2) & (pr <= se2)
+            pq_a = D - pr
+            pq_b = pq_a - 1
+            # X: in slice+chunk; Y: also chunk-interior (band-exempt)
+            x_a = insl_a & (pq_a >= cs) & (pq_a <= ce)
+            x_b = insl_b & (pq_b >= cs) & (pq_b <= ce)
+            y_a = x_a & (pq_a > cs) & (pq_a < ce)
+            y_b = x_b & (pq_b > cs) & (pq_b < ce)
+            cse_a = pq_a == jnp.maximum(cs, i1 - pr)
+            cse_b = pq_b == jnp.maximum(cs, i2 - pr)
+            base_qq = d8 - r
+            base_band = d8 - two_r
 
-            # Cells on base diagonal d split into two packed-diagonal
-            # classes: ro <= a -> dp = D, ro > a -> dp = D-1.
-            cls = ro > a
-            i_cell = jnp.where(cls, i2, i1)
-            in_slice = (pr >= jnp.where(cls, ss2, ss1)) & (
-                pr <= jnp.where(cls, se2, se1)
-            )
-            qq = d - r
-            valid = (qq >= 0) & (qq < qlen)
-            pq = (D - pr) - cls.astype(_I32)
-            in_chunk = (pq >= cs) & (pq <= ce)
-            interior = (pq > cs) & (pq < ce)
-            in_band = jnp.abs(d - two_r) <= bw
-            C = valid & in_slice & in_chunk & (interior | in_band)
-            cst = (ro == a) & (qq >= 0) & (
-                pq == jnp.maximum(cs, i_cell - pr)
-            )
-
-            # diagonal-H input with strip truncation / fake-row reload
-            htl = _roll1(hf2, interpret=interpret)
-            htl = jnp.where(col0, top_h(d - 1), htl)
-            htl = jnp.where(blk_first | cst, _trunc16(htl), htl)
-            htl = jnp.where(cst & prev_fake, jnp.int32(MINUS_INF2), htl)
-            # E input (flows down rows; top strip is int16)
-            e_in = jnp.where(blk_first, _trunc16(est), est)
-            e_in = jnp.where(col0, top_e(d), e_in)
-            # F input (flows along rows; left strip is int16)
-            f_in = jnp.where(cst, _trunc16(fst), fst)
-            f_in = jnp.where(cst & fake, jnp.int32(MINUS_INF2), f_in)
-
-            s = jnp.where(qb == tb, match, -mism)
-            s = jnp.where((qb == N_VALUE) | t_is_n, -N_PENALTY, s)
-
-            temp = htl + s
-            h_new = jnp.maximum(jnp.maximum(temp, f_in), e_in)
-            tg = temp - goe
-            f_nx = jnp.where(C, jnp.maximum(tg, f_in - ge), f_in)
-            e_nx = jnp.where(C, jnp.maximum(tg, e_in - ge), e_in)
-
-            hf2n = hf1
-            hf1n = jnp.where(C, h_new, hf1)
-            estn = _roll1(e_nx, interpret=interpret)
-            feedn = _rollm1(feed, interpret=interpret)
-
-            packed = (h_new << 16) + r
-            packed = jnp.where(C, packed, jnp.int32(INT32_MIN))
-            dmax = jnp.max(packed, axis=1, keepdims=True)
-
-            # --- per-pair bookkeeping (agatha_kernel.h:291-313,336-356) ---
-            live = (term == 0) & (d < end_p)
-            at_ss = jax.lax.rem(d, P8) == 0
-            islice = d >> 3
-            ss_sl, se_sl = slice_bounds(islice)
+            # --- empty-slice termination (agatha_kernel.h:189-191);
+            # slices start at multiples of 8*sw which are multiples of 8,
+            # so the check belongs to substep 0 of this iteration.
+            at_ss = jax.lax.rem(d8, P8) == 0
+            ss_sl, se_sl = slice_bounds(D)
             term = jnp.where(
-                live & at_ss & (d < i_end8) & (ss_sl > se_sl), 1, term
+                (term == 0) & at_ss & (d8 < i_end8) & (ss_sl > se_sl),
+                1, term,
             )
-            live2 = (term == 0) & (d < end_p)
-            gate = live2 & (((d < i_end8) & (d < n_diags)) | (d >= i_end8))
-            th = dmax >> 16
-            tr = dmax & 0xFFFF
-            dq = d - tr
-            upd = gate & (th > ms)
-            if z >= 0:
-                zel = gate & ~(th > ms) & (tr >= mr) & (dq >= mq)
-                gap = jnp.abs((tr - mr) - (dq - mq))
-                term = jnp.where(zel & (ms - th > z + gap * ge), 1, term)
-            ms = jnp.where(upd, th, ms)
-            mr = jnp.where(upd, tr, mr)
-            mq = jnp.where(upd, dq, mq)
-            diags = diags + live.astype(_I32)
 
-            return (d + 1, hf1n, hf2n, f_nx, estn, qwin, feedn, ms, mr,
+            for k in range(8):
+                d = d8 + k
+                # cells with ro > k sit on packed diagonal D-1 (class b),
+                # the rest on D (class a); Mosaic has no bool-valued
+                # select, so classes combine with logical ops.
+                cls = ro > k
+                ncls = ro <= k
+                qq_ge0 = base_qq >= -k
+                valid = qq_ge0 & (base_qq < qlen - k)
+                in_band = jnp.abs(base_band + k) <= bw
+                z_a = y_a | (x_a & in_band)
+                z_b = y_b | (x_b & in_band)
+                C = valid & ((cls & z_b) | (ncls & z_a))
+                cst = (ro == k) & qq_ge0 & (
+                    (cls & cse_b) | (ncls & cse_a)
+                )
+
+                # query window: qwin[:, l] = q[d - l]
+                qwin = jnp.where(
+                    col0, feed[:, k:k + 1], _roll1(qwin, interpret=interpret)
+                )
+
+                # diagonal-H input with strip round-trip / fake-row reload
+                htl = _roll1(hf2, interpret=interpret)
+                htl = jnp.where(col0, top_h(d - 1), htl)
+                if not safe16:
+                    htl = jnp.where(blk_first | cst, _trunc16(htl), htl)
+                htl = jnp.where(cst & prev_fake, minus_inf2, htl)
+                # E input (flows down rows; top strip is int16)
+                e_in = jnp.where(blk_first, strip16(est), est)
+                e_in = jnp.where(col0, top_e(d), e_in)
+                # F input (flows along rows; left strip is int16)
+                f_in = jnp.where(cst, strip16(fst), fst)
+                f_in = jnp.where(cst & fake, minus_inf2, f_in)
+
+                s = jnp.where(qwin == tb, match, -mism)
+                s = jnp.where((qwin == N_VALUE) | t_is_n, -N_PENALTY, s)
+
+                temp = htl + s
+                h_new = jnp.maximum(jnp.maximum(temp, f_in), e_in)
+                tg = temp - goe
+                fst = jnp.where(C, jnp.maximum(tg, f_in - ge), f_in)
+                e_nx = jnp.where(C, jnp.maximum(tg, e_in - ge), e_in)
+                hf2, hf1 = hf1, jnp.where(C, h_new, hf1)
+                est = _roll1(e_nx, interpret=interpret)
+
+                packed = (h_new << 16) + r
+                packed = jnp.where(C, packed, jnp.int32(INT32_MIN))
+                dmax = jnp.max(packed, axis=1, keepdims=True)
+
+                # --- per-pair bookkeeping (agatha_kernel.h:291-313,
+                # 336-356) ---
+                live = (term == 0) & (d < end_p)
+                gate = live & (
+                    ((d < i_end8) & (d < n_diags)) | (d >= i_end8)
+                )
+                th = dmax >> 16
+                tr = dmax & 0xFFFF
+                dq = d - tr
+                upd = gate & (th > ms)
+                if z >= 0:
+                    zel = gate & ~(th > ms) & (tr >= mr) & (dq >= mq)
+                    gap = jnp.abs((tr - mr) - (dq - mq))
+                    term = jnp.where(
+                        zel & (ms - th > z + gap * ge), 1, term
+                    )
+                ms = jnp.where(upd, th, ms)
+                mr = jnp.where(upd, tr, mr)
+                mq = jnp.where(upd, dq, mq)
+                diags = diags + live.astype(_I32)
+
+            feed = _rollm8(feed, interpret=interpret)
+            return (d8 + 8, hf1, hf2, fst, est, qwin, feed, ms, mr,
                     mq, term, diags)
 
         init = (
@@ -258,7 +323,7 @@ def _make_kernel(cfg: AlignConfig, W: int, interpret: bool):
             left_f0,
             derep(jnp.full((B, W), MINUS_INF2, _I32)),
             derep(jnp.zeros((B, W), _I32)),      # qwin (filled at d=0)
-            derep(jnp.zeros((B, LANE), _I32)),   # feed (reloaded at d=0)
+            derep(jnp.zeros((B, LANE), _I32)),   # feed (reloaded at d8=0)
             zeros,
             zeros,
             zeros,
@@ -275,13 +340,43 @@ def _make_kernel(cfg: AlignConfig, W: int, interpret: bool):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "w", "qf", "interpret")
-)
-def _align_bucket_jit(meta, tcodes, qfwd, *, cfg, w, qf, interpret):
+def _unpack_nibbles(p):
+    """(GB, X/2) uint8, two 4-bit codes per byte -> (GB, X) int32.
+
+    Wire analogue of the reference's packed layout (pack_rc_seqs.h:13-53);
+    unpacking runs on device, halving host->device traffic again vs int8.
+    """
+    a = p.astype(_I32)
+    lo = a & 0xF
+    hi = (a >> 4) & 0xF
+    return jnp.stack([lo, hi], axis=-1).reshape(p.shape[0], -1)
+
+
+def pack_nibbles(codes: np.ndarray) -> np.ndarray:
+    """Host side of the nibble wire format; codes.shape[1] must be even."""
+    c = codes.astype(np.uint8)
+    return (c[:, 0::2] | (c[:, 1::2] << 4)).astype(np.uint8)
+
+
+def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
+                       interpret):
+    """Traceable bucket alignment (call under jit)."""
     gb = tcodes.shape[0]
     grid = (gb // B_PAIRS,)
-    kernel = _make_kernel(cfg, w, interpret)
+    kernel = _make_kernel(cfg, w, safe16, interpret)
+    # Narrow wire formats: widen on device (host->device bandwidth is
+    # the dominant non-compute cost through the serving path).
+    meta = meta.astype(_I32)
+    tcodes = (
+        _unpack_nibbles(tcodes)
+        if tcodes.dtype == jnp.uint8
+        else tcodes.astype(_I32)
+    )
+    qfwd = (
+        _unpack_nibbles(qfwd)
+        if qfwd.dtype == jnp.uint8
+        else qfwd.astype(_I32)
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -300,6 +395,41 @@ def _align_bucket_jit(meta, tcodes, qfwd, *, cfg, w, qf, interpret):
     )(meta, tcodes, qfwd)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "w", "qf", "safe16", "interpret")
+)
+def _align_bucket_jit(meta, tcodes, qfwd, *, cfg, w, qf, safe16, interpret):
+    return _align_bucket_impl(
+        meta, tcodes, qfwd, cfg=cfg, w=w, qf=qf, safe16=safe16,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "shapes", "interpret")
+)
+def _align_many_jit(arrays, *, cfg, shapes, interpret):
+    """Align several buckets in ONE compiled program.
+
+    Per-execution dispatch latency through the serving path is large
+    relative to kernel time, so the engine fuses every bucket of a batch
+    into a single XLA program: one upload set, one execution, one fetch.
+
+    arrays: flat tuple (meta0, tcodes0, qfwd0, meta1, ...);
+    shapes: tuple of (w, qf, safe16) per bucket (static).
+    """
+    outs = []
+    for bi, (w, qf, safe16) in enumerate(shapes):
+        meta, tcodes, qfwd = arrays[3 * bi : 3 * bi + 3]
+        outs.append(
+            _align_bucket_impl(
+                meta, tcodes, qfwd, cfg=cfg, w=w, qf=qf, safe16=safe16,
+                interpret=interpret,
+            )
+        )
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
 def align_bucket(
     meta: np.ndarray | jax.Array,
     tcodes: np.ndarray | jax.Array,
@@ -307,6 +437,7 @@ def align_bucket(
     cfg: AlignConfig,
     *,
     interpret: bool = False,
+    force_strips: bool = False,
 ) -> jax.Array:
     """Align one shape-uniform bucket of pairs.
 
@@ -315,26 +446,39 @@ def align_bucket(
               Padding pairs should use qlen = rlen = 1.
       tcodes: (GB, W) int32 — 4-bit target codes per row, W % 128 == 0,
               W >= padded target length of every pair.
-      qfwd:   (GB, QF) int32 — query codes left-aligned, zero padded;
-              QF % 128 == 0 and QF >= 8 * i_end + 8 for every pair
-              (the kernel's query feed reads 128-lane blocks up to the
-              last swept diagonal).
+      qfwd:   (GB, QF) int — query codes left-aligned, zero padded;
+              QF % 128 == 0 and QF > padded query length of every pair
+              (feed loads beyond QF clamp; the garbage lanes are masked).
       cfg:    alignment parameters (static; triggers recompilation).
+      force_strips: keep the int16 strip round-trips even when the
+              config is provably int16-safe (testing).
+
+    tcodes/qfwd may be int8 (codes fit in 4 bits): they are shipped to
+    the device narrow and widened there, which matters because host->
+    device bandwidth is the engine's main non-compute cost.
 
     Returns:
       (GB, 4) int32 — [score, query_end, target_end, diagonals_swept].
     """
+    tcodes = np.asarray(tcodes) if isinstance(tcodes, np.ndarray) else tcodes
     w = int(tcodes.shape[1])
     qf = int(qfwd.shape[1])
+    if tcodes.dtype == np.uint8 or tcodes.dtype == jnp.uint8:
+        w *= 2
+    if qfwd.dtype == np.uint8 or qfwd.dtype == jnp.uint8:
+        qf *= 2
     assert w % LANE == 0 and qf % LANE == 0
     assert tcodes.shape[0] % B_PAIRS == 0
+    # w + qf bounds the max pair length for the int16-safety bound.
+    safe16 = (not force_strips) and int16_safe(cfg, max_len=w + qf)
     return _align_bucket_jit(
         jnp.asarray(meta, _I32),
-        jnp.asarray(tcodes, _I32),
-        jnp.asarray(qfwd, _I32),
+        jnp.asarray(tcodes),
+        jnp.asarray(qfwd),
         cfg=cfg,
         w=w,
         qf=qf,
+        safe16=safe16,
         interpret=interpret,
     )
 
@@ -358,23 +502,21 @@ def build_bucket_arrays(
         return -(-x // 8)
 
     max_w = 0
-    max_d = 0
+    max_q = 0
     for _qc, _tc, ql, rl in pairs:
-        prl8 = ceil8(rl) * 8
-        max_w = max(max_w, prl8)
-        tad = ceil8(rl) + ceil8(ql) - 1
-        i_end = -(-tad // sw) * sw
-        max_d = max(max_d, 8 * i_end + 8)
+        max_w = max(max_w, ceil8(rl) * 8)
+        max_q = max(max_q, ceil8(ql) * 8)
+    del sw
     if w is None:
         w = -(-max_w // LANE) * LANE
-    if dmax is None:
-        dmax = max_d
-    assert w >= max_w and dmax >= max_d
+    if dmax is not None:
+        max_q = max(max_q, dmax)  # back-compat: allow oversizing
+    assert w >= max_w
 
-    qf = -(-dmax // LANE) * LANE
+    qf = -(-max_q // LANE) * LANE
     meta = np.ones((gb, 2), np.int32)
-    tcodes = np.zeros((gb, w), np.int32)
-    qfwd = np.zeros((gb, qf), np.int32)
+    tcodes = np.zeros((gb, w), np.int8)
+    qfwd = np.zeros((gb, qf), np.int8)
     for p, (qc, tc, ql, rl) in enumerate(pairs):
         meta[p] = (ql, rl)
         tcodes[p, : len(tc)] = tc

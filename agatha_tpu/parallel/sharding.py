@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from agatha_tpu.config import AlignConfig
-from agatha_tpu.ops.kernel import B_PAIRS, _align_bucket_jit
+from agatha_tpu.ops.kernel import B_PAIRS, _align_bucket_jit, int16_safe
 
 
 def make_pairs_mesh(devices=None) -> Mesh:
@@ -37,10 +37,12 @@ def make_pairs_mesh(devices=None) -> Mesh:
 )
 def _align_sharded_jit(meta, tcodes, qfwd, *, cfg, w, qf, mesh, interpret):
     spec = P("pairs", None)
+    safe16 = int16_safe(cfg, max_len=qf)
 
     def local(m, t, q):
         return _align_bucket_jit(
-            m, t, q, cfg=cfg, w=w, qf=qf, interpret=interpret
+            m, t, q, cfg=cfg, w=w, qf=qf, safe16=safe16,
+            interpret=interpret,
         )
 
     # check_vma=False: pallas_call's out_shape carries no vma metadata.

@@ -88,14 +88,17 @@ def main():
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     mean_len = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     encoded = make_workload(n_pairs, mean_len)
-    engine = AlignEngine(cfg, EngineConfig(aligns_per_batch=8192))
+    engine = AlignEngine(cfg, EngineConfig())
 
     # Warm-up: compile every bucket shape.
     engine.align(encoded)
 
-    t0 = time.perf_counter()
-    res = engine.align(encoded)
-    dt = time.perf_counter() - t0
+    # Best-of-3: the serving path to the chip has multi-ms jitter.
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = engine.align(encoded)
+        dt = min(dt, time.perf_counter() - t0)
 
     qlens = [e[2] for e in encoded]
     rlens = [e[3] for e in encoded]

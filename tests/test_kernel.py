@@ -88,6 +88,27 @@ def test_kernel_all_n_sequences(rng):
     _run_and_compare(pairs, CANON)
 
 
+def test_safe16_fast_path_matches_strip_path(rng):
+    """int16-safe fast path must equal the full strip-roundtrip path."""
+    from agatha_tpu.ops.kernel import int16_safe
+
+    assert int16_safe(CANON, max_len=4096)
+    assert not int16_safe(
+        AlignConfig(z_threshold=-1), max_len=4096
+    )
+    pairs = _random_pairs(rng, 16, hi=300)
+    meta, tcodes, qfwd = build_bucket_arrays(pairs, CANON)
+    fast = np.asarray(
+        align_bucket(meta, tcodes, qfwd, CANON, interpret=True)
+    )
+    slow = np.asarray(
+        align_bucket(
+            meta, tcodes, qfwd, CANON, interpret=True, force_strips=True
+        )
+    )
+    assert (fast == slow).all()
+
+
 def test_kernel_padding_pairs_ignored(rng):
     """GB padding with dummy pairs must not corrupt real outputs."""
     pairs = _random_pairs(rng, 3)

@@ -1,0 +1,96 @@
+"""CIGAR traceback: path validity, score equality, engine integration."""
+
+import numpy as np
+import pytest
+
+from agatha_tpu.config import AlignConfig
+from agatha_tpu.engine import AlignEngine
+from agatha_tpu.ops.packing import encode_padded
+from agatha_tpu.ops.sweep import align_one_sweep
+from agatha_tpu.ops.traceback import (
+    cigar_to_pairs,
+    score_cigar,
+    traceback_one,
+)
+
+from .conftest import mutate, random_seq
+
+CFG = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2)
+
+
+def _check_pair(q, t, cfg):
+    qc = encode_padded(q)
+    tc = encode_padded(t)
+    score, q_end, t_end = align_one_sweep(qc, tc, len(q), len(t), cfg)
+    cigar, tb_score = traceback_one(
+        qc, tc, q_end, t_end, cfg, expected_score=score
+    )
+    if cigar == "":
+        assert score == 0
+        return cigar
+    # the path must consume exactly [0..q_end] x [0..t_end]
+    qc_n, tc_n = cigar_to_pairs(cigar)
+    assert qc_n == q_end + 1, (cigar, q_end)
+    assert tc_n == t_end + 1, (cigar, t_end)
+    # the path's score must equal the DP score
+    assert tb_score == score, (cigar, tb_score, score)
+    assert score_cigar(cigar, qc, tc, cfg) == score
+    return cigar
+
+
+def test_identity_alignment(rng):
+    q = random_seq(rng, 80)
+    cigar = _check_pair(q, q, CFG)
+    assert cigar == "80M"
+
+
+def test_single_substitution(rng):
+    q = random_seq(rng, 60)
+    t = q[:30] + ("A" if q[30] != "A" else "C") + q[31:]
+    cigar = _check_pair(q, t, CFG)
+    assert cigar == "60M"
+
+
+def test_insertion_and_deletion(rng):
+    q = random_seq(rng, 60)
+    t = q[:20] + q[25:]  # 5-base deletion from target
+    _check_pair(q, t, CFG)
+    t2 = q[:20] + "ACGTA" + q[20:]
+    _check_pair(q, t2, CFG)
+
+
+@pytest.mark.parametrize("cfg", [
+    CFG,
+    AlignConfig(),
+    AlignConfig(band_width=10, z_threshold=50),
+])
+def test_random_pairs_path_valid(rng, cfg):
+    for i in range(20):
+        ql = int(rng.integers(1, 150))
+        q = random_seq(rng, ql, 0.02)
+        t = mutate(rng, q) if i % 2 else random_seq(
+            rng, int(rng.integers(1, 150)), 0.02
+        )
+        _check_pair(q, t, cfg)
+
+
+def test_engine_traceback(rng):
+    engine = AlignEngine(CFG, interpret=True)
+    pairs = []
+    for i in range(6):
+        q = random_seq(rng, 50 + 10 * i)
+        pairs.append((q, mutate(rng, q)))
+    enc = [
+        (encode_padded(q), encode_padded(t), len(q), len(t))
+        for q, t in pairs
+    ]
+    res = engine.align(enc, traceback=True)
+    assert res.cigars is not None and len(res.cigars) == 6
+    for i, (qc, tc, ql, rl) in enumerate(enc):
+        qc_n, tc_n = cigar_to_pairs(res.cigars[i])
+        assert qc_n == int(res.query_ends[i]) + 1
+        assert tc_n == int(res.target_ends[i]) + 1
+        assert (
+            score_cigar(res.cigars[i], qc, tc, CFG)
+            == int(res.scores[i])
+        )
