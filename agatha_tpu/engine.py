@@ -93,7 +93,45 @@ class AlignEngine:
     def encode_pairs(
         self, pairs: list[SeqPair]
     ) -> list[tuple[np.ndarray, np.ndarray, int, int]]:
-        """FASTA pairs -> (q_codes, t_codes, qlen, rlen) with ops applied."""
+        """FASTA pairs -> (q_codes, t_codes, qlen, rlen) with ops applied.
+
+        Uses the native C++ batch encoder when available (the host-side
+        hot path at scale); falls back to NumPy per pair.
+        """
+        from agatha_tpu import native
+
+        if native.available() and pairs:
+            def batch(seqs, ops):
+                stride = max(
+                    8, -(-max(len(s) for s in seqs) // 8) * 8
+                )
+                rows, lens = native.encode_batch(
+                    [s.encode() if isinstance(s, str) else s
+                     for s in seqs],
+                    np.asarray(ops, np.uint8),
+                    stride,
+                )
+                return rows, lens
+
+            q_rows, q_lens = batch(
+                [p.query for p in pairs], [p.query_op for p in pairs]
+            )
+            t_rows, t_lens = batch(
+                [p.target for p in pairs], [p.target_op for p in pairs]
+            )
+            out = []
+            for i in range(len(pairs)):
+                ql, rl = int(q_lens[i]), int(t_lens[i])
+                out.append(
+                    (
+                        q_rows[i, : -(-ql // 8) * 8],
+                        t_rows[i, : -(-rl // 8) * 8],
+                        ql,
+                        rl,
+                    )
+                )
+            return out
+
         out = []
         for p in pairs:
             qc = encode_padded(p.query, p.query_op)

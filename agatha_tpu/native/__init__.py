@@ -1,0 +1,126 @@
+"""Native (C++) host-path helpers, loaded through ctypes.
+
+The shared object is built on demand with g++ (cached next to the
+source); every entry point has a pure-NumPy fallback so the package
+works without a toolchain.  The native path exists because host-side
+encode/pack throughput must keep multiple chips fed at pod scale —
+the same reason the reference implements its batch fill in C++
+(host_batch.cpp) and packing on the GPU (pack_rc_seqs.h).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "packer.cpp")
+_SO = os.path.join(_DIR, "_packer.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.exists(_SO)) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", _SO, _SRC],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO)
+        i64 = ctypes.c_int64
+        p8 = ctypes.POINTER(ctypes.c_uint8)
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        lib.agatha_encode_batch.argtypes = [p8, p64, p8, i64, p8, i64, p32]
+        lib.agatha_encode_batch.restype = ctypes.c_int
+        lib.agatha_pack_nibbles.argtypes = [p8, i64, i64, p8]
+        lib.agatha_pack_nibbles.restype = ctypes.c_int
+        lib.agatha_encode_pack_batch.argtypes = [
+            p8, p64, p8, i64, p8, i64, p32,
+        ]
+        lib.agatha_encode_pack_batch.restype = ctypes.c_int
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _p8(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def encode_batch(
+    seqs: list[bytes],
+    ops: np.ndarray | None,
+    stride: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a batch of ASCII sequences to (n, stride) padded codes.
+
+    Falls back to ops.packing.encode_padded when the native library is
+    unavailable.  Returns (codes uint8 (n, stride), lens int32 (n,)).
+    """
+    n = len(seqs)
+    out = np.zeros((n, stride), np.uint8)
+    lens = np.zeros(n, np.int32)
+    lib = _load()
+    if lib is not None:
+        blob = b"".join(seqs)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum([len(s) for s in seqs], out=offsets[1:])
+        opsa = (
+            np.zeros(n, np.uint8) if ops is None
+            else np.ascontiguousarray(ops, np.uint8)
+        )
+        blob_a = np.frombuffer(blob, np.uint8)
+        if blob_a.size == 0:
+            blob_a = np.zeros(1, np.uint8)
+        rc = lib.agatha_encode_batch(
+            _p8(blob_a),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            _p8(opsa),
+            n,
+            _p8(out),
+            stride,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == 0:
+            return out, lens
+    # fallback
+    from agatha_tpu.ops.packing import encode_padded
+
+    for i, s in enumerate(seqs):
+        op = 0 if ops is None else int(ops[i])
+        c = encode_padded(s, op)
+        out[i, : len(c)] = c
+        lens[i] = len(s)
+    return out, lens
+
+
+def pack_nibbles_rows(codes: np.ndarray) -> np.ndarray:
+    """(n, stride) codes -> (n, stride/2) nibble-packed, native if able."""
+    n, stride = codes.shape
+    lib = _load()
+    if lib is not None and stride % 2 == 0:
+        codes = np.ascontiguousarray(codes, np.uint8)
+        out = np.empty((n, stride // 2), np.uint8)
+        if lib.agatha_pack_nibbles(_p8(codes), n, stride, _p8(out)) == 0:
+            return out
+    from agatha_tpu.ops.kernel import pack_nibbles
+
+    return pack_nibbles(codes)

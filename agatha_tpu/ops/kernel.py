@@ -70,13 +70,6 @@ def _roll1(x, *, interpret: bool):
     return pltpu.roll(x, shift=1, axis=1)
 
 
-def _rollm8(x, *, interpret: bool):
-    """out[:, l] = x[:, l+8] (circular left shift by 8 lanes)."""
-    if interpret:
-        return jnp.roll(x, -8, axis=1)
-    return pltpu.roll(x, shift=x.shape[1] - 8, axis=1)
-
-
 def int16_safe(cfg: AlignConfig, max_len: int) -> bool:
     """True when no live DP value can leave int16 range.
 
@@ -105,7 +98,23 @@ def int16_safe(cfg: AlignConfig, max_len: int) -> bool:
     return decay < 32768
 
 
-def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool):
+def window_width(cfg: AlignConfig) -> int:
+    """Lane width of the sliding-window kernel for this config.
+
+    Cells on diagonals [d8, d8+8) live in rows
+    [(d8-bw)/2 - 12, (d8+7+bw)/2 + 12] (band plus packed-word and slice
+    slop), so the window needs bw + ~236 rows of coverage; the 128-row
+    shift quantum and the post-shift qwin heal time (one lane per step)
+    add the rest of the margin.
+    """
+    return -(-(cfg.band_width + 320) // LANE) * LANE
+
+
+def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
+                 windowed: bool = False, wt: int | None = None):
+    # W: lane width of the state window; wt: full tcodes width (== W
+    # unless windowed).
+    wt = W if wt is None else wt
     sw, bw, z = cfg.slice_width, cfg.band_width, cfg.z_threshold
     goe, ge = cfg.gap_oe, cfg.gap_extend
     match, mism = cfg.match, cfg.mismatch
@@ -152,7 +161,8 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool):
             return ss, se
 
         # --- per-lane invariants ---
-        r = jax.lax.broadcasted_iota(_I32, (B, W), 1)
+        lane = jax.lax.broadcasted_iota(_I32, (B, W), 1)
+        lane0 = lane == 0
 
         # Mosaic workaround: while-loop carries whose init is sublane-
         # replicated (pure lane-iota functions / splats) hit an invalid
@@ -163,28 +173,20 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool):
             si = jax.lax.broadcasted_iota(_I32, x.shape, 0)
             return jnp.minimum(x, si + jnp.int32(0x3FFFFFFF))
 
-        col0 = r == 0
-        pr = r >> 3
-        ro = r & 7
-        two_r = r << 1
-        blk_first = ro == 0
-        cs = jnp.maximum(0, (pr << 3) - bw) >> 3
-        ce = jnp.minimum(pql - 1, ((pr << 3) + (7 + bw)) >> 3)
-        fake = r >= rlen          # rows beyond ref_len in the last word
-        prev_fake = r > rlen      # fake shifted down one row
+        def boundary_init(r):
+            """Left-strip inits for rows r (agatha_kernel.h:126-148)."""
+            kb = _trunc16(-(goe + ge * r))
+            in_b0 = r <= bw
+            h0 = jnp.where(in_b0, kb, jnp.int32(MINUS_INF2))
+            f0 = jnp.where(in_b0, _trunc16(kb - goe), jnp.int32(MINUS_INF2))
+            return h0, f0
 
-        kb = _trunc16(-(goe + ge * r))
-        in_b0 = r <= bw
-        left_h0 = derep(jnp.where(in_b0, kb, jnp.int32(MINUS_INF2)))
-        left_f0 = derep(
-            jnp.where(in_b0, _trunc16(kb - goe), jnp.int32(MINUS_INF2))
-        )
-
-        tb = tcodes_ref[:, :]
-        t_is_n = tb == N_VALUE
+        if not windowed:
+            tb_full = tcodes_ref[:, :]
 
         zeros = jnp.zeros((B, 1), _I32)
         minus_inf2 = jnp.int32(MINUS_INF2)
+        qf_cap = qfwd_ref.shape[1] - LANE
 
         def cond(carry):
             d8 = carry[0]
@@ -194,23 +196,82 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool):
             return jnp.any((term == 0) & (d8 < end_p))
 
         def body(carry):
-            (d8, hf1, hf2, fst, est, qwin, feed, ms, mr, mq, term,
+            (d8, vbase, hf1, hf2, fst, est, qwin, ms, mr, mq, term,
              diags) = carry
             D = d8 >> 3
 
-            # --- query feed: feed[:, l] = q[d8 + l] for l in [0, 8) ---
-            # reloaded (128-aligned) every 16 iterations, left-rotated 8
-            # lanes otherwise.  Loads clamp to the query buffer: beyond
-            # qlen the fed values are garbage, but every cell that reads
-            # them has qq >= qlen and is masked off by `valid`.
-            da = (d8 >> 7) << 7
-            qf_cap = qfwd_ref.shape[1] - LANE
-            dac = jnp.minimum(da, qf_cap)
-            feed = jax.lax.cond(
-                d8 == da,
-                lambda: qfwd_ref[:, pl.ds(pl.multiple_of(dac, LANE), LANE)],
-                lambda: feed,
-            )
+            if windowed:
+                # --- window shift: rows [vbase, vbase+128) can never
+                # compute again once (d8-bw)/2 - 64 has moved 128 past
+                # vbase (cells at diag d need rows >= (d-bw)/2 - 12).
+                # Incoming rows are ahead of the wavefront: H/F take
+                # their boundary inits (stationary until computed), the
+                # flowing E is MINUS_INF2, and qwin heals lane-by-lane
+                # long before those rows compute (window_width margin).
+                # The window parks at the target end (vbase <= wt - W).
+                want = ((((d8 - bw) >> 1) - 64) - vbase >= 128) & (
+                    vbase + 128 <= wt - W
+                )
+                # Mosaic cannot select whole vectors on a scalar i1, so
+                # the shift is computed unconditionally and blended with
+                # a broadcast mask (2 extra ops/substep amortized).
+                wantv = jnp.full((B, 1), 0, _I32) + want.astype(_I32)
+                wmask = (wantv > 0) & (lane >= 0)
+
+                def shl(x):
+                    if interpret:
+                        return jnp.roll(x, -128, axis=1)
+                    return pltpu.roll(x, shift=W - 128, axis=1)
+
+                vb2 = vbase + 128 * want.astype(_I32)
+                rn = vb2 + lane
+                inc = lane >= W - 128
+                h0n, f0n = boundary_init(rn)
+                hf1 = jnp.where(
+                    wmask, jnp.where(inc, h0n, shl(hf1)), hf1
+                )
+                hf2 = jnp.where(
+                    wmask, jnp.where(inc, h0n, shl(hf2)), hf2
+                )
+                fst = jnp.where(
+                    wmask, jnp.where(inc, f0n, shl(fst)), fst
+                )
+                est = jnp.where(
+                    wmask, jnp.where(inc, minus_inf2, shl(est)), est
+                )
+                qwin = jnp.where(wmask, shl(qwin), qwin)
+                vbase = vb2
+                r = vbase + lane
+                tb = tcodes_ref[
+                    :, pl.ds(pl.multiple_of(vbase, LANE), W)
+                ]
+            else:
+                r = lane
+                tb = tb_full
+
+            t_is_n = tb == N_VALUE
+            pr = r >> 3
+            ro = r & 7
+            two_r = r << 1
+            blk_first = ro == 0
+            cs = jnp.maximum(0, (pr << 3) - bw) >> 3
+            ce = jnp.minimum(pql - 1, ((pr << 3) + (7 + bw)) >> 3)
+            fake = r >= rlen      # rows beyond ref_len in the last word
+            prev_fake = r > rlen  # fake shifted down one row
+
+            # --- query feed: feed[:, k] = q[qoff + k] for k in [0, 8) ---
+            # one aligned 128-block load + power-of-two lane rotate per
+            # iteration.  Loads clamp to the query buffer: beyond qlen
+            # the fed values are garbage, but every cell that reads them
+            # has qq >= qlen and is masked off by `valid`.
+            qoff = d8 - vbase
+            phase = qoff & 127
+            blk = jnp.clip(qoff - phase, 0, qf_cap)
+            feed = qfwd_ref[:, pl.ds(pl.multiple_of(blk, LANE), LANE)]
+            if interpret:
+                feed = jnp.roll(feed, -phase, axis=1)
+            else:
+                feed = pltpu.roll(feed, shift=LANE - phase, axis=1)
 
             # --- hoisted per-packed-diagonal values ---
             i1 = (D // sw) * sw
@@ -258,20 +319,35 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool):
                     (cls & cse_b) | (ncls & cse_a)
                 )
 
-                # query window: qwin[:, l] = q[d - l]
+                # query window: qwin[:, l] = q[d - vbase - l]
                 qwin = jnp.where(
-                    col0, feed[:, k:k + 1], _roll1(qwin, interpret=interpret)
+                    lane0, feed[:, k:k + 1],
+                    _roll1(qwin, interpret=interpret),
                 )
+
+                # Lane-0 boundary values.  While vbase == 0, lane 0 is
+                # row 0 and takes the top-boundary init; after the window
+                # leaves row 0, lane 0's row is in the never-computes
+                # margin: htl is dead, and the flowing E stream of every
+                # column still below the window is MINUS_INF2 (such
+                # columns have q > bw, whose top_e init is MINUS_INF2).
+                if windowed:
+                    at0 = vbase == 0
+                    top_h_v = jnp.where(at0, top_h(d - 1), minus_inf2)
+                    top_e_v = jnp.where(at0, top_e(d), minus_inf2)
+                else:
+                    top_h_v = top_h(d - 1)
+                    top_e_v = top_e(d)
 
                 # diagonal-H input with strip round-trip / fake-row reload
                 htl = _roll1(hf2, interpret=interpret)
-                htl = jnp.where(col0, top_h(d - 1), htl)
+                htl = jnp.where(lane0, top_h_v, htl)
                 if not safe16:
                     htl = jnp.where(blk_first | cst, _trunc16(htl), htl)
                 htl = jnp.where(cst & prev_fake, minus_inf2, htl)
                 # E input (flows down rows; top strip is int16)
                 e_in = jnp.where(blk_first, strip16(est), est)
-                e_in = jnp.where(col0, top_e(d), e_in)
+                e_in = jnp.where(lane0, top_e_v, e_in)
                 # F input (flows along rows; left strip is int16)
                 f_in = jnp.where(cst, strip16(fst), fst)
                 f_in = jnp.where(cst & fake, minus_inf2, f_in)
@@ -312,18 +388,18 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool):
                 mq = jnp.where(upd, dq, mq)
                 diags = diags + live.astype(_I32)
 
-            feed = _rollm8(feed, interpret=interpret)
-            return (d8 + 8, hf1, hf2, fst, est, qwin, feed, ms, mr,
+            return (d8 + 8, vbase, hf1, hf2, fst, est, qwin, ms, mr,
                     mq, term, diags)
 
+        left_h0, left_f0 = boundary_init(lane)
         init = (
             jnp.int32(0),
-            left_h0,
-            left_h0,
-            left_f0,
+            jnp.int32(0),                        # vbase
+            derep(left_h0),
+            derep(left_h0),
+            derep(left_f0),
             derep(jnp.full((B, W), MINUS_INF2, _I32)),
             derep(jnp.zeros((B, W), _I32)),      # qwin (filled at d=0)
-            derep(jnp.zeros((B, LANE), _I32)),   # feed (reloaded at d8=0)
             zeros,
             zeros,
             zeros,
@@ -359,11 +435,17 @@ def pack_nibbles(codes: np.ndarray) -> np.ndarray:
 
 
 def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
-                       interpret):
+                       interpret, windowed=False):
     """Traceable bucket alignment (call under jit)."""
     gb = tcodes.shape[0]
     grid = (gb // B_PAIRS,)
-    kernel = _make_kernel(cfg, w, safe16, interpret)
+    if windowed:
+        wk = window_width(cfg)
+        assert w >= wk, (w, wk)
+        kernel = _make_kernel(cfg, wk, safe16, interpret,
+                              windowed=True, wt=w)
+    else:
+        kernel = _make_kernel(cfg, w, safe16, interpret)
     # Narrow wire formats: widen on device (host->device bandwidth is
     # the dominant non-compute cost through the serving path).
     meta = meta.astype(_I32)
@@ -396,12 +478,14 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "w", "qf", "safe16", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "w", "qf", "safe16", "interpret", "windowed"),
 )
-def _align_bucket_jit(meta, tcodes, qfwd, *, cfg, w, qf, safe16, interpret):
+def _align_bucket_jit(meta, tcodes, qfwd, *, cfg, w, qf, safe16, interpret,
+                      windowed=False):
     return _align_bucket_impl(
         meta, tcodes, qfwd, cfg=cfg, w=w, qf=qf, safe16=safe16,
-        interpret=interpret,
+        interpret=interpret, windowed=windowed,
     )
 
 
@@ -416,15 +500,15 @@ def _align_many_jit(arrays, *, cfg, shapes, interpret):
     into a single XLA program: one upload set, one execution, one fetch.
 
     arrays: flat tuple (meta0, tcodes0, qfwd0, meta1, ...);
-    shapes: tuple of (w, qf, safe16) per bucket (static).
+    shapes: tuple of (w, qf, safe16, windowed) per bucket (static).
     """
     outs = []
-    for bi, (w, qf, safe16) in enumerate(shapes):
+    for bi, (w, qf, safe16, windowed) in enumerate(shapes):
         meta, tcodes, qfwd = arrays[3 * bi : 3 * bi + 3]
         outs.append(
             _align_bucket_impl(
                 meta, tcodes, qfwd, cfg=cfg, w=w, qf=qf, safe16=safe16,
-                interpret=interpret,
+                interpret=interpret, windowed=windowed,
             )
         )
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
@@ -471,6 +555,9 @@ def align_bucket(
     assert tcodes.shape[0] % B_PAIRS == 0
     # w + qf bounds the max pair length for the int16-safety bound.
     safe16 = (not force_strips) and int16_safe(cfg, max_len=w + qf)
+    # Sliding-window state when the target is longer than the band
+    # window: per-step cost becomes O(band), not O(target_len).
+    windowed = w > window_width(cfg)
     return _align_bucket_jit(
         jnp.asarray(meta, _I32),
         jnp.asarray(tcodes),
@@ -480,6 +567,7 @@ def align_bucket(
         qf=qf,
         safe16=safe16,
         interpret=interpret,
+        windowed=windowed,
     )
 
 
