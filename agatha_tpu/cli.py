@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
     from agatha_tpu.config import AlignConfig, EngineConfig
     from agatha_tpu.engine import AlignEngine
     from agatha_tpu.io.fasta import read_fasta_pairs
+    from agatha_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = AlignConfig(
         match=args.m,
@@ -80,9 +83,13 @@ def main(argv: list[str] | None = None) -> int:
     load_ms = (time.perf_counter() - t_load) * 1e3
 
     encoded = engine.encode_pairs(pairs)
-    # Warm-up compile outside the timed window (the reference's timed
-    # window also excludes compilation: nvcc compiles ahead of time).
+    # First align compiles + produces results; the reported kernel time
+    # comes from a second, warm run (the reference's timed window also
+    # excludes compilation: nvcc compiles ahead of time).
     result = engine.align(encoded)
+    if args.p:
+        timed = engine.align(encoded)
+        result.kernel_ms = timed.kernel_ms
 
     if args.p:
         out = sys.stdout
