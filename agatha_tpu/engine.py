@@ -168,7 +168,8 @@ class AlignEngine:
             idx = order[lo : lo + per_bucket]
             gb = -(-len(idx) // B_PAIRS) * B_PAIRS
             w = _round_shape(int(w_need[idx].max()))
-            qf = _round_shape(int(q_need[idx].max()))
+            # >= 3 blocks: kernel stages query feeds in 384-lane windows
+            qf = max(3 * LANE, _round_shape(int(q_need[idx].max())))
             meta = np.ones((gb, 2), np.int32)
             tcodes = np.zeros((gb, w), np.int8)
             qfwd = np.zeros((gb, qf), np.int8)

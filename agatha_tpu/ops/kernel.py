@@ -98,16 +98,23 @@ def int16_safe(cfg: AlignConfig, max_len: int) -> bool:
     return decay < 32768
 
 
+# The window advances by SHIFT_Q rows per shift; a shift opportunity
+# occurs every INNER_ITERS packed diagonals (demand rate is 4 rows per
+# packed diagonal, so opportunities outpace demand 2x).
+SHIFT_Q = LANE
+INNER_ITERS = 16
+
+
 def window_width(cfg: AlignConfig) -> int:
     """Lane width of the sliding-window kernel for this config.
 
     Cells on diagonals [d8, d8+8) live in rows
     [(d8-bw)/2 - 12, (d8+7+bw)/2 + 12] (band plus packed-word and slice
     slop), so the window needs bw + ~236 rows of coverage; the 128-row
-    shift quantum and the post-shift qwin heal time (one lane per step)
-    add the rest of the margin.
+    shift quantum, the shift-opportunity cadence and the post-shift
+    qwin heal time (one lane per step) add the rest of the margin.
     """
-    return -(-(cfg.band_width + 320) // LANE) * LANE
+    return -(-(cfg.band_width + 320 + 8 * INNER_ITERS) // LANE) * LANE
 
 
 def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
@@ -139,6 +146,12 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
         return jnp.where(col <= bw, _trunc16(k - goe), MINUS_INF2)
 
     def kernel(meta_ref, tcodes_ref, qfwd_ref, out_ref):
+        # tcodes_ref/qfwd_ref are FULL (GB, ...) refs left in HBM/ANY:
+        # slicing big VMEM refs costs proportionally to their total
+        # width on this hardware, so sequence windows are DMA'd into
+        # fixed-size VMEM scratch instead (also makes VMEM use
+        # independent of sequence length).
+        rowb = pl.multiple_of(pl.program_id(0) * B, B)
         qlen = meta_ref[:, 0:1]
         rlen = meta_ref[:, 1:2]
         pql = (qlen + 7) >> 3
@@ -164,15 +177,10 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
         lane = jax.lax.broadcasted_iota(_I32, (B, W), 1)
         lane0 = lane == 0
 
-        # Mosaic workaround: while-loop carries whose init is sublane-
-        # replicated (pure lane-iota functions / splats) hit an invalid
-        # relayout against the non-replicated body results.  Mixing in a
-        # sublane iota through a value-preserving min forces a plain
-        # layout without changing any value (all inits are < 2^30).
-        def derep(x):
-            si = jax.lax.broadcasted_iota(_I32, x.shape, 0)
-            return jnp.minimum(x, si + jnp.int32(0x3FFFFFFF))
-
+        # (Historical Mosaic gotcha, kept for future editors: (B, W)
+        # while-loop carries whose init is sublane-replicated hit an
+        # invalid-relayout error; state now lives in scratch refs, which
+        # sidesteps carry layout unification entirely.)
         def boundary_init(r):
             """Left-strip inits for rows r (agatha_kernel.h:126-148)."""
             kb = _trunc16(-(goe + ge * r))
@@ -181,74 +189,121 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             f0 = jnp.where(in_b0, _trunc16(kb - goe), jnp.int32(MINUS_INF2))
             return h0, f0
 
-        if not windowed:
-            tb_full = tcodes_ref[:, :]
-
         zeros = jnp.zeros((B, 1), _I32)
         minus_inf2 = jnp.int32(MINUS_INF2)
-        qf_cap = qfwd_ref.shape[1] - LANE
+        qf_len = qfwd_ref.shape[1]
+        assert qf_len >= 3 * LANE, "qfwd must be padded to >= 384 lanes"
 
         def cond(carry):
             d8 = carry[0]
-            term = carry[10]
+            term = carry[7]
             # term is an int32 0/1 mask: Mosaic cannot carry i1 vectors
             # through scf.while.
             return jnp.any((term == 0) & (d8 < end_p))
 
-        def body(carry):
-            (d8, vbase, hf1, hf2, fst, est, qwin, ms, mr, mq, term,
-             diags) = carry
-            D = d8 >> 3
+        # State lives in VMEM scratch refs, not loop carries.  Each
+        # outer half runs INNER_ITERS packed diagonals against one set
+        # of double-buffered sequence windows while the OTHER set is
+        # DMA'd for the next half (the shift decision is pure in
+        # (d8, vbase), so the next window is known ahead of time); a
+        # while-loop iteration runs two halves so buffer roles stay
+        # static.  The at-most-one window shift per half is a branchless
+        # masked blend (~25 vector ops amortized over 128 substeps).
+        # hfa/hfb hold H(d-1)/H(d-2) in alternating roles per substep
+        # (even substep counts keep the assignment static).
+        def next_window(d8, vbase):
+            """(vbase', blk0') for the half starting at diagonal d8."""
+            if windowed:
+                want = ((((d8 - bw) >> 1) - 64) - vbase >= SHIFT_Q) & (
+                    vbase + SHIFT_Q <= wt - W
+                )
+                vbase = vbase + jnp.where(want, SHIFT_Q, 0)
+            qoff0 = d8 - vbase
+            blk0 = jnp.clip(qoff0 - (qoff0 & 127), 0, qf_len - 3 * LANE)
+            return vbase, blk0
+
+        def make_dmas(vbase, blk0, tbw, qfw, sems):
+            tb_base = vbase if windowed else 0
+            cp_t = pltpu.make_async_copy(
+                tcodes_ref.at[
+                    pl.ds(rowb, B),
+                    pl.ds(pl.multiple_of(tb_base, LANE), W),
+                ],
+                tbw,
+                sems.at[0],
+            )
+            cp_q = pltpu.make_async_copy(
+                qfwd_ref.at[
+                    pl.ds(rowb, B),
+                    pl.ds(pl.multiple_of(blk0, LANE), 3 * LANE),
+                ],
+                qfw,
+                sems.at[1],
+            )
+            return cp_t, cp_q
+
+        def half(carry, refs, use_bufs, pre_bufs):
+            d8, vbase_prev, i1, kph, ms, mr, mq, term, diags = carry
+            hfa, hfb, fst_r, est_r, qwin_r = refs
+            tbw, qfw, sems = use_bufs
+
+            # this half's window (recomputes the prefetch decision)
+            vbase, blk0 = next_window(d8, vbase_prev)
+            cp_t, cp_q = make_dmas(vbase, blk0, tbw, qfw, sems)
+            cp_t.wait()
+            cp_q.wait()
 
             if windowed:
-                # --- window shift: rows [vbase, vbase+128) can never
-                # compute again once (d8-bw)/2 - 64 has moved 128 past
-                # vbase (cells at diag d need rows >= (d-bw)/2 - 12).
-                # Incoming rows are ahead of the wavefront: H/F take
-                # their boundary inits (stationary until computed), the
+                # --- window shift: rows [vbase_prev, vbase) can never
+                # compute again (cells at diag d need rows >=
+                # (d-bw)/2 - 12 and vbase trails by >= 64).  Incoming
+                # rows are ahead of the wavefront: H/F take their
+                # boundary inits (stationary until computed), the
                 # flowing E is MINUS_INF2, and qwin heals lane-by-lane
                 # long before those rows compute (window_width margin).
                 # The window parks at the target end (vbase <= wt - W).
-                want = ((((d8 - bw) >> 1) - 64) - vbase >= 128) & (
-                    vbase + 128 <= wt - W
-                )
-                # Mosaic cannot select whole vectors on a scalar i1, so
-                # the shift is computed unconditionally and blended with
-                # a broadcast mask (2 extra ops/substep amortized).
-                wantv = jnp.full((B, 1), 0, _I32) + want.astype(_I32)
+                want = vbase > vbase_prev
+                wantv = jnp.zeros((B, 1), _I32) + want.astype(_I32)
                 wmask = (wantv > 0) & (lane >= 0)
 
                 def shl(x):
                     if interpret:
-                        return jnp.roll(x, -128, axis=1)
-                    return pltpu.roll(x, shift=W - 128, axis=1)
+                        return jnp.roll(x, -SHIFT_Q, axis=1)
+                    return pltpu.roll(x, shift=W - SHIFT_Q, axis=1)
 
-                vb2 = vbase + 128 * want.astype(_I32)
-                rn = vb2 + lane
-                inc = lane >= W - 128
+                rn = vbase + lane
+                inc = lane >= W - SHIFT_Q
                 h0n, f0n = boundary_init(rn)
-                hf1 = jnp.where(
-                    wmask, jnp.where(inc, h0n, shl(hf1)), hf1
+                hfa[:, :] = jnp.where(
+                    wmask, jnp.where(inc, h0n, shl(hfa[:, :])), hfa[:, :]
                 )
-                hf2 = jnp.where(
-                    wmask, jnp.where(inc, h0n, shl(hf2)), hf2
+                hfb[:, :] = jnp.where(
+                    wmask, jnp.where(inc, h0n, shl(hfb[:, :])), hfb[:, :]
                 )
-                fst = jnp.where(
-                    wmask, jnp.where(inc, f0n, shl(fst)), fst
+                fst_r[:, :] = jnp.where(
+                    wmask, jnp.where(inc, f0n, shl(fst_r[:, :])),
+                    fst_r[:, :],
                 )
-                est = jnp.where(
-                    wmask, jnp.where(inc, minus_inf2, shl(est)), est
+                est_r[:, :] = jnp.where(
+                    wmask, jnp.where(inc, minus_inf2, shl(est_r[:, :])),
+                    est_r[:, :],
                 )
-                qwin = jnp.where(wmask, shl(qwin), qwin)
-                vbase = vb2
+                qwin_r[:, :] = jnp.where(
+                    wmask, shl(qwin_r[:, :]), qwin_r[:, :]
+                )
                 r = vbase + lane
-                tb = tcodes_ref[
-                    :, pl.ds(pl.multiple_of(vbase, LANE), W)
-                ]
             else:
                 r = lane
-                tb = tb_full
 
+            # prefetch the NEXT half's windows into the other buffers
+            nvbase, nblk0 = next_window(d8 + 8 * INNER_ITERS, vbase)
+            ncp_t, ncp_q = make_dmas(nvbase, nblk0, *pre_bufs)
+            ncp_t.start()
+            ncp_q.start()
+
+            tb = tbw[:, :]
+
+            # per-window invariants (constant across the inner loop)
             t_is_n = tb == N_VALUE
             pr = r >> 3
             ro = r & 7
@@ -259,23 +314,51 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             fake = r >= rlen      # rows beyond ref_len in the last word
             prev_fake = r > rlen  # fake shifted down one row
 
+            inner = functools.partial(
+                _inner, r=r, pr=pr, ro=ro, two_r=two_r,
+                blk_first=blk_first, cs=cs, ce=ce, fake=fake,
+                prev_fake=prev_fake, tb=tb, t_is_n=t_is_n, vbase=vbase,
+                blk0=blk0, hfa=hfa, hfb=hfb, fst_r=fst_r, est_r=est_r,
+                qwin_r=qwin_r, qfw=qfw,
+            )
+            d8, i1, kph, ms, mr, mq, term, diags = jax.lax.fori_loop(
+                0, INNER_ITERS,
+                lambda _i, c: inner(c),
+                (d8, i1, kph, ms, mr, mq, term, diags),
+            )
+            return (d8, vbase, i1, kph, ms, mr, mq, term, diags)
+
+        def body(carry, refs, bufs_a, bufs_b):
+            carry = half(carry, refs, bufs_a, bufs_b)
+            carry = half(carry, refs, bufs_b, bufs_a)
+            return carry
+
+        def _inner(carry, *, r, pr, ro, two_r, blk_first, cs, ce, fake,
+                   prev_fake, tb, t_is_n, vbase, blk0, hfa, hfb, fst_r,
+                   est_r, qwin_r, qfw):
+            # i1 = sw*floor(D/sw) and kph = D - i1 are carried
+            # incrementally: scalar div/rem by a non-power-of-two lowers
+            # to an iterative loop whose cost grows with the operand
+            # value (measured: O(total_steps^2) end-to-end).
+            d8, i1, kph, ms, mr, mq, term, diags = carry
+            D = d8 >> 3
+
             # --- query feed: feed[:, k] = q[qoff + k] for k in [0, 8) ---
-            # one aligned 128-block load + power-of-two lane rotate per
-            # iteration.  Loads clamp to the query buffer: beyond qlen
-            # the fed values are garbage, but every cell that reads them
-            # has qq >= qlen and is masked off by `valid`.
+            # one aligned 128-block slice of the staged qfw window plus
+            # a power-of-two lane rotate.  Out-of-range feeds are
+            # garbage, but every cell that reads them has qq >= qlen and
+            # is masked off by `valid`.
             qoff = d8 - vbase
             phase = qoff & 127
-            blk = jnp.clip(qoff - phase, 0, qf_cap)
-            feed = qfwd_ref[:, pl.ds(pl.multiple_of(blk, LANE), LANE)]
+            off2 = jnp.clip(qoff - phase - blk0, 0, 2 * LANE)
+            feed = qfw[:, pl.ds(pl.multiple_of(off2, LANE), LANE)]
             if interpret:
                 feed = jnp.roll(feed, -phase, axis=1)
             else:
                 feed = pltpu.roll(feed, shift=LANE - phase, axis=1)
 
             # --- hoisted per-packed-diagonal values ---
-            i1 = (D // sw) * sw
-            i2 = ((D - 1) // sw) * sw
+            i2 = jnp.where(kph == 0, i1 - sw, i1)
             ss1, se1 = slice_bounds(i1)
             ss2, se2 = slice_bounds(i2)
             insl_a = (pr >= ss1) & (pr <= se1)
@@ -295,7 +378,7 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             # --- empty-slice termination (agatha_kernel.h:189-191);
             # slices start at multiples of 8*sw which are multiples of 8,
             # so the check belongs to substep 0 of this iteration.
-            at_ss = jax.lax.rem(d8, P8) == 0
+            at_ss = kph == 0
             ss_sl, se_sl = slice_bounds(D)
             term = jnp.where(
                 (term == 0) & at_ss & (d8 < i_end8) & (ss_sl > se_sl),
@@ -319,11 +402,15 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                     (cls & cse_b) | (ncls & cse_a)
                 )
 
+                # alternating H-strip roles (see body docstring)
+                hf1_ref, hf2_ref = (hfa, hfb) if k % 2 == 0 else (hfb, hfa)
+
                 # query window: qwin[:, l] = q[d - vbase - l]
                 qwin = jnp.where(
                     lane0, feed[:, k:k + 1],
-                    _roll1(qwin, interpret=interpret),
+                    _roll1(qwin_r[:, :], interpret=interpret),
                 )
+                qwin_r[:, :] = qwin
 
                 # Lane-0 boundary values.  While vbase == 0, lane 0 is
                 # row 0 and takes the top-boundary init; after the window
@@ -340,15 +427,18 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                     top_e_v = top_e(d)
 
                 # diagonal-H input with strip round-trip / fake-row reload
-                htl = _roll1(hf2, interpret=interpret)
+                hf1 = hf1_ref[:, :]
+                htl = _roll1(hf2_ref[:, :], interpret=interpret)
                 htl = jnp.where(lane0, top_h_v, htl)
                 if not safe16:
                     htl = jnp.where(blk_first | cst, _trunc16(htl), htl)
                 htl = jnp.where(cst & prev_fake, minus_inf2, htl)
                 # E input (flows down rows; top strip is int16)
+                est = est_r[:, :]
                 e_in = jnp.where(blk_first, strip16(est), est)
                 e_in = jnp.where(lane0, top_e_v, e_in)
                 # F input (flows along rows; left strip is int16)
+                fst = fst_r[:, :]
                 f_in = jnp.where(cst, strip16(fst), fst)
                 f_in = jnp.where(cst & fake, minus_inf2, f_in)
 
@@ -358,10 +448,15 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 temp = htl + s
                 h_new = jnp.maximum(jnp.maximum(temp, f_in), e_in)
                 tg = temp - goe
-                fst = jnp.where(C, jnp.maximum(tg, f_in - ge), f_in)
+                fst_r[:, :] = jnp.where(
+                    C, jnp.maximum(tg, f_in - ge), f_in
+                )
                 e_nx = jnp.where(C, jnp.maximum(tg, e_in - ge), e_in)
-                hf2, hf1 = hf1, jnp.where(C, h_new, hf1)
-                est = _roll1(e_nx, interpret=interpret)
+                # new hf1 overwrites hf2's slot (its value was consumed
+                # as htl above); old hf1 becomes next substep's hf2 by
+                # the role swap.
+                hf2_ref[:, :] = jnp.where(C, h_new, hf1)
+                est_r[:, :] = _roll1(e_nx, interpret=interpret)
 
                 packed = (h_new << 16) + r
                 packed = jnp.where(C, packed, jnp.int32(INT32_MIN))
@@ -388,30 +483,71 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 mq = jnp.where(upd, dq, mq)
                 diags = diags + live.astype(_I32)
 
-            return (d8 + 8, vbase, hf1, hf2, fst, est, qwin, ms, mr,
-                    mq, term, diags)
+            kph = kph + 1
+            wrap = kph >= sw
+            return (d8 + 8, jnp.where(wrap, i1 + sw, i1),
+                    jnp.where(wrap, 0, kph), ms, mr, mq, term, diags)
 
-        left_h0, left_f0 = boundary_init(lane)
-        init = (
-            jnp.int32(0),
-            jnp.int32(0),                        # vbase
-            derep(left_h0),
-            derep(left_h0),
-            derep(left_f0),
-            derep(jnp.full((B, W), MINUS_INF2, _I32)),
-            derep(jnp.zeros((B, W), _I32)),      # qwin (filled at d=0)
-            zeros,
-            zeros,
-            zeros,
-            zeros,
-            zeros,
+        def run(hfa, hfb, fst_r, est_r, qwin_r, tbw_a, qfw_a, sems_a,
+                tbw_b, qfw_b, sems_b):
+            left_h0, left_f0 = boundary_init(lane)
+            hfa[:, :] = left_h0
+            hfb[:, :] = left_h0
+            fst_r[:, :] = left_f0
+            est_r[:, :] = jnp.full((B, W), MINUS_INF2, _I32)
+            qwin_r[:, :] = jnp.zeros((B, W), _I32)  # filled at d=0
+
+            refs = (hfa, hfb, fst_r, est_r, qwin_r)
+            bufs_a = (tbw_a, qfw_a, sems_a)
+            bufs_b = (tbw_b, qfw_b, sems_b)
+
+            # prime the first half's windows
+            v0, b0 = next_window(jnp.int32(0), jnp.int32(0))
+            p_t, p_q = make_dmas(v0, b0, *bufs_a)
+            p_t.start()
+            p_q.start()
+
+            init = (
+                jnp.int32(0),
+                jnp.int32(0),  # vbase
+                jnp.int32(0),  # i1 = sw*floor(D/sw)
+                jnp.int32(0),  # kph = D - i1
+                zeros,
+                zeros,
+                zeros,
+                zeros,
+                zeros,
+            )
+            final = jax.lax.while_loop(
+                cond,
+                lambda c: body(c, refs, bufs_a, bufs_b),
+                init,
+            )
+            d8_f, vb_f, _, _, ms, mr, mq, _, diags = final
+            # drain the dangling prefetch (last half prefetched bufs_a)
+            nv, nb = next_window(d8_f, vb_f)
+            w_t, w_q = make_dmas(nv, nb, *bufs_a)
+            w_t.wait()
+            w_q.wait()
+            out_ref[:, 0:1] = ms
+            out_ref[:, 1:2] = mq
+            out_ref[:, 2:3] = mr
+            out_ref[:, 3:4] = diags
+
+        pl.run_scoped(
+            run,
+            hfa=pltpu.VMEM((B, W), _I32),
+            hfb=pltpu.VMEM((B, W), _I32),
+            fst_r=pltpu.VMEM((B, W), _I32),
+            est_r=pltpu.VMEM((B, W), _I32),
+            qwin_r=pltpu.VMEM((B, W), _I32),
+            tbw_a=pltpu.VMEM((B, W), _I32),
+            qfw_a=pltpu.VMEM((B, 3 * LANE), _I32),
+            sems_a=pltpu.SemaphoreType.DMA((2,)),
+            tbw_b=pltpu.VMEM((B, W), _I32),
+            qfw_b=pltpu.VMEM((B, 3 * LANE), _I32),
+            sems_b=pltpu.SemaphoreType.DMA((2,)),
         )
-        final = jax.lax.while_loop(cond, body, init)
-        ms, mr, mq, diags = final[7], final[8], final[9], final[11]
-        out_ref[:, 0:1] = ms
-        out_ref[:, 1:2] = mq
-        out_ref[:, 2:3] = mr
-        out_ref[:, 3:4] = diags
 
     return kernel
 
@@ -465,10 +601,11 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
         in_specs=[
             pl.BlockSpec((B_PAIRS, 2), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_PAIRS, w), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_PAIRS, qf), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
+            # Sequences stay in HBM; the kernel DMAs fixed-size windows
+            # into VMEM scratch (slicing big VMEM refs is pathologically
+            # slow, and this keeps VMEM use length-independent).
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((B_PAIRS, 4), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
@@ -601,7 +738,8 @@ def build_bucket_arrays(
         max_q = max(max_q, dmax)  # back-compat: allow oversizing
     assert w >= max_w
 
-    qf = -(-max_q // LANE) * LANE
+    # >= 3 blocks: the kernel stages the query feed in 384-lane windows
+    qf = max(3 * LANE, -(-max_q // LANE) * LANE)
     meta = np.ones((gb, 2), np.int32)
     tcodes = np.zeros((gb, w), np.int8)
     qfwd = np.zeros((gb, qf), np.int8)
