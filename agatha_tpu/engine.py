@@ -143,6 +143,12 @@ class AlignEngine:
     def make_buckets(
         self, encoded: list[tuple[np.ndarray, np.ndarray, int, int]]
     ) -> list[_Bucket]:
+        return list(self.iter_buckets(encoded))
+
+    def iter_buckets(
+        self, encoded: list[tuple[np.ndarray, np.ndarray, int, int]]
+    ):
+        """Yield buckets one at a time so dispatch overlaps packing."""
         n = len(encoded)
         sw = self.cfg.slice_width
         per_bucket = max(B_PAIRS, self.engine_cfg.aligns_per_batch)
@@ -163,7 +169,6 @@ class AlignEngine:
         # pairs sharing a program then terminate together.
         order = np.lexsort((w_need, d_need))
 
-        buckets = []
         for lo in range(0, n, per_bucket):
             idx = order[lo : lo + per_bucket]
             gb = -(-len(idx) // B_PAIRS) * B_PAIRS
@@ -178,10 +183,9 @@ class AlignEngine:
                 meta[row] = (ql, rl)
                 tcodes[row, : len(tc)] = tc
                 qfwd[row, : len(qc)] = qc
-            buckets.append(
-                _Bucket(idx, meta, pack_nibbles(tcodes), pack_nibbles(qfwd))
+            yield _Bucket(
+                idx, meta, pack_nibbles(tcodes), pack_nibbles(qfwd)
             )
-        return buckets
 
     # -- dispatch ----------------------------------------------------------
     def align(
@@ -198,20 +202,22 @@ class AlignEngine:
         import jax.numpy as jnp
 
         n = len(encoded)
-        buckets = self.make_buckets(encoded)
         t0 = time.perf_counter()
-        # Per-bucket async dispatch (uploads overlap compute — the JAX
-        # analogue of the reference's fill-next-batch-while-previous-runs
-        # streams, test_prog.cpp:273-374), then ONE device-side concat and
-        # a single fetch (per-fetch round-trip latency dominates
-        # otherwise).
-        pending = [
-            align_bucket(
-                b.meta, b.tcodes, b.qfwd, self.cfg,
-                interpret=self.interpret,
+        # Buckets dispatch as soon as each is packed, so host packing and
+        # uploads overlap device compute (the JAX analogue of the
+        # reference's fill-next-batch-while-previous-runs streams,
+        # test_prog.cpp:273-374); then ONE device-side concat and a
+        # single fetch (per-fetch round-trip latency dominates otherwise).
+        buckets = []
+        pending = []
+        for b in self.iter_buckets(encoded):
+            buckets.append(b)
+            pending.append(
+                align_bucket(
+                    b.meta, b.tcodes, b.qfwd, self.cfg,
+                    interpret=self.interpret,
+                )
             )
-            for b in buckets
-        ]
         if len(pending) > 1:
             all_out = np.asarray(jnp.concatenate(pending, axis=0))
         else:
