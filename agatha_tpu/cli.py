@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(ignored on TPU) CPU threads")
     p.add_argument("--interpret", action="store_true",
                    help="run the kernel in interpreter mode (debug)")
+    p.add_argument("--cigar", action="store_true",
+                   help="append a CIGAR column to each result line "
+                        "(capability beyond the reference)")
     p.add_argument("query_fasta")
     p.add_argument("target_fasta")
     p.add_argument("raw_file", nargs="?", default=None)
@@ -86,7 +89,7 @@ def main(argv: list[str] | None = None) -> int:
     # First align compiles + produces results; the reported kernel time
     # comes from a second, warm run (the reference's timed window also
     # excludes compilation: nvcc compiles ahead of time).
-    result = engine.align(encoded)
+    result = engine.align(encoded, traceback=args.cigar)
     if args.p:
         timed = engine.align(encoded)
         result.kernel_ms = timed.kernel_ms
@@ -95,11 +98,14 @@ def main(argv: list[str] | None = None) -> int:
         out = sys.stdout
         write = out.write
         for i in range(len(pairs)):
-            write(
+            line = (
                 f"{result.scores[i]}"
                 f"\tquery_batch_end={result.query_ends[i]}"
-                f"\ttarget_batch_end={result.target_ends[i]}\n"
+                f"\ttarget_batch_end={result.target_ends[i]}"
             )
+            if args.cigar:
+                line += f"\tcigar={result.cigars[i]}"
+            write(line + "\n")
         if args.raw_file:
             with open(args.raw_file, "a") as rf:
                 rf.write(f"{result.kernel_ms:.6f}\n")
