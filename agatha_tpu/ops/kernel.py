@@ -12,9 +12,11 @@ shared-memory design, AGAThA/src/kernels/agatha_kernel.h:49-431):
   iteration processes a full packed antidiagonal (8 base diagonals,
   statically unrolled) so slice/chunk clipping bounds, chunk masks and
   the query feed are hoisted and computed once per 8 steps.
-* All O(len) state (H at d-1, H at d-2, E, F) lives in VMEM as
-  (B_PAIRS, W) int32 arrays carried through the loop; the reference
-  keeps these as short2 strips in GPU global memory (ctors.cpp:89).
+* All O(band) state (H at d-1, H at d-2, E, F, query window) lives in
+  (B_PAIRS, W) int32 VMEM scratch; the reference keeps its strips in
+  GPU global memory (ctors.cpp:89).  Sequences stay in HBM and windows
+  are staged by double-buffered DMA, so VMEM use is independent of
+  read length.
 * Z-drop / empty-slice termination is tracked per pair as a mask; the
   loop exits when every pair in the program has terminated or finished
   (replaces CUDA subwarp rejoining, agatha_kernel.h:365-408, with
