@@ -1,0 +1,111 @@
+"""Randomized TPU-vs-oracle stress verification.
+
+Runs the COMPILED kernel (real chip) against the scalar-semantics
+oracle over randomized pairs and configs, covering both kernel variants
+(full / sliding-window), the int16-safe fast path and the strict strip
+path, reverse/complement ops, N bases, and extreme length asymmetry.
+
+Usage: python scripts/stress.py [n_rounds] [seed]
+Exits non-zero on any mismatch.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from agatha_tpu.config import AlignConfig  # noqa: E402
+from agatha_tpu.ops.kernel import (  # noqa: E402
+    align_bucket,
+    build_bucket_arrays,
+)
+from agatha_tpu.ops.packing import encode_padded  # noqa: E402
+from agatha_tpu.ops.sweep import align_one_sweep  # noqa: E402
+
+CONFIGS = [
+    AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2),  # canonical
+    AlignConfig(),                                               # defaults
+    AlignConfig(band_width=100, z_threshold=100, slice_width=2),
+    AlignConfig(band_width=2001, z_threshold=800),               # wide ONT
+    AlignConfig(z_threshold=-1, band_width=200),                 # no Z-drop
+    AlignConfig(match=3, mismatch=9, gap_open=16, gap_extend=1,
+                slice_width=4, z_threshold=50, band_width=33),
+]
+
+
+def rseq(rng, n, nf=0.03):
+    b = np.array(list("ACGT"))
+    s = b[rng.integers(0, 4, size=n)]
+    s[rng.random(n) < nf] = "N"
+    return "".join(s)
+
+
+def mutate(rng, seq, div=0.12):
+    out = []
+    bases = "ACGT"
+    for ch in seq:
+        r = rng.random()
+        if r < div / 3:
+            continue
+        out.append(bases[rng.integers(0, 4)] if r < div else ch)
+        if rng.random() < div / 3:
+            out.append(bases[rng.integers(0, 4)])
+    return "".join(out) or "A"
+
+
+def main():
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    rng = np.random.default_rng(seed)
+    total = bad = 0
+    for rd in range(rounds):
+        cfg = CONFIGS[rd % len(CONFIGS)]
+        pairs = []
+        for i in range(16):
+            kind = rng.integers(0, 4)
+            if kind == 0:      # homologous
+                ql = int(rng.integers(1, 2000))
+                q = rseq(rng, ql)
+                t = mutate(rng, q)
+            elif kind == 1:    # unrelated
+                q = rseq(rng, int(rng.integers(1, 1500)))
+                t = rseq(rng, int(rng.integers(1, 1500)))
+            elif kind == 2:    # asymmetric
+                q = rseq(rng, int(rng.integers(1, 50)))
+                t = rseq(rng, int(rng.integers(500, 3000)))
+            else:              # ops applied
+                q = rseq(rng, int(rng.integers(10, 600)))
+                t = mutate(rng, q)
+            qop = int(rng.integers(0, 4))
+            top = int(rng.integers(0, 4))
+            qc = encode_padded(q, qop)
+            tc = encode_padded(t, top)
+            pairs.append((qc, tc, len(q), len(t)))
+        meta, tcodes, qfwd = build_bucket_arrays(pairs, cfg)
+        force = bool(rng.integers(0, 2))
+        out = np.asarray(
+            align_bucket(meta, tcodes, qfwd, cfg, force_strips=force)
+        )
+        for p, (qc, tc, ql, rl) in enumerate(pairs):
+            exp = align_one_sweep(qc, tc, ql, rl, cfg)
+            got = tuple(int(v) for v in out[p, :3])
+            total += 1
+            if got != tuple(exp):
+                bad += 1
+                print(
+                    f"MISMATCH round={rd} cfg=(bw={cfg.band_width},"
+                    f"z={cfg.z_threshold},sw={cfg.slice_width}) "
+                    f"pair={p} ql={ql} rl={rl} exp={tuple(exp)} got={got}"
+                )
+        print(f"round {rd + 1}/{rounds} "
+              f"(bw={cfg.band_width}, z={cfg.z_threshold}, "
+              f"strips={'forced' if force else 'auto'}): "
+              f"{16 - bad}/16 ok")
+    print(f"stress: {total - bad}/{total} pairs bit-exact")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
