@@ -64,9 +64,9 @@ class EngineConfig:
     (args_parser.cpp:23); other knobs are TPU-native (bucketing geometry).
     """
 
-    aligns_per_batch: int = 512    # -a (TPU sweet spot: overlaps host
-                                   # packing/upload with device compute;
-                                   # the reference's CUDA default is 8192)
+    aligns_per_batch: int = 8192   # -a: upper bound on pairs per bucket
+                                   # (the engine adaptively targets ~8
+                                   # buckets per batch for pipelining)
     pairs_per_program: int = 8     # alignments packed per Pallas program
     lane_window: int = 0           # 0 = auto from band_width
     n_host_threads: int = 1        # -n (input pipeline threads)

@@ -151,7 +151,13 @@ class AlignEngine:
         """Yield buckets one at a time so dispatch overlaps packing."""
         n = len(encoded)
         sw = self.cfg.slice_width
-        per_bucket = max(B_PAIRS, self.engine_cfg.aligns_per_batch)
+        # Adaptive bucket size: ~8 buckets pipeline host packing, upload
+        # and compute against each other (measured 1.5x over one big
+        # bucket on 10kb reads); aligns_per_batch (-a) is an upper bound.
+        per_bucket = min(
+            max(B_PAIRS, self.engine_cfg.aligns_per_batch),
+            max(64, -(-n // 8)),
+        )
 
         w_need = np.empty(n, np.int64)
         q_need = np.empty(n, np.int64)
