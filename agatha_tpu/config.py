@@ -67,9 +67,6 @@ class EngineConfig:
     aligns_per_batch: int = 8192   # -a: upper bound on pairs per bucket
                                    # (the engine adaptively targets ~8
                                    # buckets per batch for pipelining)
-    pairs_per_program: int = 8     # alignments packed per Pallas program
-    lane_window: int = 0           # 0 = auto from band_width
-    n_host_threads: int = 1        # -n (input pipeline threads)
 
 
 def c_div_trunc(a: int, b: int) -> int:
