@@ -17,7 +17,10 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "packer.cpp")
+_SRCS = [
+    os.path.join(_DIR, "packer.cpp"),
+    os.path.join(_DIR, "traceback.cpp"),
+]
 _SO = os.path.join(_DIR, "_packer.so")
 
 _lib = None
@@ -30,12 +33,12 @@ def _load():
         return _lib
     _tried = True
     try:
-        if (not os.path.exists(_SO)) or (
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        if (not os.path.exists(_SO)) or any(
+            os.path.getmtime(_SO) < os.path.getmtime(s) for s in _SRCS
         ):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _SO, _SRC],
+                 "-o", _SO] + _SRCS,
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(_SO)
@@ -51,6 +54,12 @@ def _load():
             p8, p64, p8, i64, p8, i64, p32,
         ]
         lib.agatha_encode_pack_batch.restype = ctypes.c_int
+        i32 = ctypes.c_int32
+        lib.agatha_traceback.argtypes = [
+            p8, p8, i32, i32, i32, i32, i32, i32, i32,
+            ctypes.c_char_p, i64, p64,
+        ]
+        lib.agatha_traceback.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -110,6 +119,36 @@ def encode_batch(
         out[i, : len(c)] = c
         lens[i] = len(s)
     return out, lens
+
+
+def traceback(
+    q_codes: np.ndarray,
+    t_codes: np.ndarray,
+    q_end: int,
+    t_end: int,
+    cfg,
+) -> tuple[str, int] | None:
+    """Native CIGAR traceback; None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    qc = np.ascontiguousarray(q_codes, np.uint8)
+    tc = np.ascontiguousarray(t_codes, np.uint8)
+    cap = 16 * (q_end + t_end + 8) + 64
+    buf = ctypes.create_string_buffer(cap)
+    score = np.zeros(1, np.int64)
+    rc = lib.agatha_traceback(
+        _p8(qc), _p8(tc),
+        ctypes.c_int32(q_end), ctypes.c_int32(t_end),
+        ctypes.c_int32(cfg.match), ctypes.c_int32(cfg.mismatch),
+        ctypes.c_int32(cfg.gap_oe), ctypes.c_int32(cfg.gap_extend),
+        ctypes.c_int32(cfg.band_width),
+        buf, ctypes.c_int64(cap),
+        score.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return buf.value.decode("ascii"), int(score[0])
 
 
 def pack_nibbles_rows(codes: np.ndarray) -> np.ndarray:

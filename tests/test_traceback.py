@@ -74,6 +74,31 @@ def test_random_pairs_path_valid(rng, cfg):
         _check_pair(q, t, cfg)
 
 
+def test_native_traceback_matches_python(rng):
+    """The C++ traceback must equal the NumPy reference exactly."""
+    import agatha_tpu.native as nv
+
+    if not nv.available():
+        pytest.skip("native library unavailable")
+    for i in range(20):
+        ql = int(rng.integers(1, 250))
+        q = random_seq(rng, ql, 0.03)
+        t = mutate(rng, q) if i % 2 else random_seq(
+            rng, int(rng.integers(1, 250)), 0.03
+        )
+        qc = encode_padded(q)
+        tc = encode_padded(t)
+        qe, te = len(q) - 1, len(t) - 1
+        nat = nv.traceback(qc, tc, qe, te, CFG)
+        saved_lib, saved_tried = nv._lib, nv._tried
+        try:
+            nv._lib, nv._tried = None, True
+            py = traceback_one(qc, tc, qe, te, CFG)
+        finally:
+            nv._lib, nv._tried = saved_lib, saved_tried
+        assert nat == py, i
+
+
 def test_engine_traceback(rng):
     engine = AlignEngine(CFG, interpret=True)
     pairs = []
