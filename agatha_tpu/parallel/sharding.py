@@ -22,7 +22,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from agatha_tpu.config import AlignConfig
-from agatha_tpu.ops.kernel import B_PAIRS, _align_bucket_jit, int16_safe
+from agatha_tpu.ops.kernel import (
+    B_PAIRS,
+    _align_bucket_jit,
+    int16_safe,
+    window_width,
+)
 
 
 def make_pairs_mesh(devices=None) -> Mesh:
@@ -37,12 +42,13 @@ def make_pairs_mesh(devices=None) -> Mesh:
 )
 def _align_sharded_jit(meta, tcodes, qfwd, *, cfg, w, qf, mesh, interpret):
     spec = P("pairs", None)
-    safe16 = int16_safe(cfg, max_len=qf)
+    safe16 = int16_safe(cfg, max_len=w + qf)
+    windowed = w > window_width(cfg)
 
     def local(m, t, q):
         return _align_bucket_jit(
             m, t, q, cfg=cfg, w=w, qf=qf, safe16=safe16,
-            interpret=interpret,
+            interpret=interpret, windowed=windowed,
         )
 
     # check_vma=False: pallas_call's out_shape carries no vma metadata.
@@ -71,12 +77,14 @@ def align_bucket_sharded(
     assert gb % (n_dev * B_PAIRS) == 0, (
         f"bucket rows {gb} not divisible by {n_dev} devices x {B_PAIRS}"
     )
-    w = int(tcodes.shape[1])
-    qf = int(qfwd.shape[1])
+    tcodes = np.asarray(tcodes)
+    qfwd = np.asarray(qfwd)
+    w = int(tcodes.shape[1]) * (2 if tcodes.dtype == np.uint8 else 1)
+    qf = int(qfwd.shape[1]) * (2 if qfwd.dtype == np.uint8 else 1)
     spec = NamedSharding(mesh, P("pairs", None))
     meta = jax.device_put(jnp.asarray(meta, jnp.int32), spec)
-    tcodes = jax.device_put(jnp.asarray(tcodes, jnp.int32), spec)
-    qfwd = jax.device_put(jnp.asarray(qfwd, jnp.int32), spec)
+    tcodes = jax.device_put(jnp.asarray(tcodes), spec)
+    qfwd = jax.device_put(jnp.asarray(qfwd), spec)
     return _align_sharded_jit(
         meta, tcodes, qfwd, cfg=cfg, w=w, qf=qf, mesh=mesh,
         interpret=interpret,
