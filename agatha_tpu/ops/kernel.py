@@ -110,13 +110,16 @@ INNER_ITERS = 16
 def window_width(cfg: AlignConfig) -> int:
     """Lane width of the sliding-window kernel for this config.
 
-    Cells on diagonals [d8, d8+8) live in rows
-    [(d8-bw)/2 - 12, (d8+7+bw)/2 + 12] (band plus packed-word and slice
-    slop), so the window needs bw + ~236 rows of coverage; the 128-row
-    shift quantum, the shift-opportunity cadence and the post-shift
-    qwin heal time (one lane per step) add the rest of the margin.
+    Margin budget on top of the band width bw:
+      * cells on diagonals [d8, d8+8) live in rows
+        [(d8-bw)/2 - 40, (d8+7+bw)/2 + 40] (packed-word + slice slop);
+      * the shift policy keeps vbase <= (d8-bw)/2 - 64 and may lag up
+        to SHIFT_Q + 8*INNER_ITERS/2 rows more between opportunities;
+      * post-shift qwin healing (one lane per step) needs
+        2W - 384 - 2bw >= SHIFT_Q.
+    All satisfied by bw + 300 rounded up to the lane tile.
     """
-    return -(-(cfg.band_width + 320 + 8 * INNER_ITERS) // LANE) * LANE
+    return -(-(cfg.band_width + 300) // LANE) * LANE
 
 
 def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
