@@ -70,8 +70,8 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(600)
 def test_two_process_distributed(tmp_path):
+    # (bounded by the per-process wait(timeout=540) below)
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     coord = f"127.0.0.1:{_free_port()}"
