@@ -42,10 +42,10 @@ def main():
         match=1, mismatch=4, gap_open=6, gap_extend=2,
         slice_width=3, z_threshold=400, band_width=751,
     )
-    # Default workload: 512 ~10kb long-read extensions — the domain the
+    # Default workload: 1024 ~10kb long-read extensions — the domain the
     # reference targets (long-read mapping) and large enough that
     # serving-path dispatch latency is amortized.
-    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     mean_len = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
     encoded = make_workload(n_pairs, mean_len)
     engine = AlignEngine(cfg, EngineConfig())
