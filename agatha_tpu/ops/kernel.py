@@ -403,9 +403,9 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 z_a = y_a | (x_a & in_band)
                 z_b = y_b | (x_b & in_band)
                 C = valid & ((cls & z_b) | (ncls & z_a))
-                cst = (ro == k) & qq_ge0 & (
-                    (cls & cse_b) | (ncls & cse_a)
-                )
+                # chunk-start lanes have ro == k, i.e. qo == 0, which is
+                # always class a (ro > k is false there)
+                cst = (ro == k) & qq_ge0 & cse_a
 
                 # alternating H-strip roles (see body docstring)
                 hf1_ref, hf2_ref = (hfa, hfb) if k % 2 == 0 else (hfb, hfa)
