@@ -208,6 +208,16 @@ class AlignEngine:
         import jax.numpy as jnp
 
         n = len(encoded)
+        if n == 0:
+            z = np.zeros(0, np.int32)
+            return AlignmentResult(z, z, z, z, cigars=[] if traceback
+                                   else None)
+        for i, (_qc, _tc, ql, rl) in enumerate(encoded):
+            if ql < 1 or rl < 1:
+                raise ValueError(
+                    f"pair {i}: empty sequence (qlen={ql}, rlen={rl}); "
+                    "the aligner requires at least one base per side"
+                )
         t0 = time.perf_counter()
         # Buckets dispatch as soon as each is packed, so host packing and
         # uploads overlap device compute (the JAX analogue of the

@@ -67,6 +67,19 @@ def test_engine_applies_seq_ops(rng):
                     int(res.target_ends[0])) == tuple(exp)
 
 
+def test_empty_batch_and_empty_sequence(rng):
+    import pytest
+
+    engine = AlignEngine(CFG, interpret=True)
+    res = engine.align([])
+    assert len(res.scores) == 0
+    q = encode_padded("ACGT")
+    with pytest.raises(ValueError, match="empty sequence"):
+        engine.align([(q, q, 0, 4)])
+    with pytest.raises(ValueError, match="empty sequence"):
+        engine.align([(q, q, 4, 0)])
+
+
 def test_cli_end_to_end(tmp_path, rng):
     qs, ts, ops = [], [], []
     for i in range(5):
