@@ -89,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
     # First align compiles + produces results; the reported kernel time
     # comes from a second, warm run (the reference's timed window also
     # excludes compilation: nvcc compiles ahead of time).
+    if args.cigar:
+        args.p = True  # CIGARs are results; computing them unprinted
+        #               would be silent wasted work
     result = engine.align(encoded, traceback=args.cigar)
     if args.p:
         timed = engine.align(encoded)

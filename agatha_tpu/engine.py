@@ -218,6 +218,22 @@ class AlignEngine:
                     f"pair {i}: empty sequence (qlen={ql}, rlen={rl}); "
                     "the aligner requires at least one base per side"
                 )
+            # 16-bit packing limits, identical to the reference
+            # (BASELINE.md: scores < 2^15 from the (H<<16)|r max
+            # packing, ref end positions < 2^16 from the r extraction;
+            # gasal.h:147, agatha_kernel.h:29-30).  Results degrade the
+            # same way the reference's would — warn, don't refuse.
+            if rl > 0xFFFF or self.cfg.match * min(ql, rl) >= 0x8000:
+                import warnings
+
+                warnings.warn(
+                    f"pair {i} (qlen={ql}, rlen={rl}) exceeds the "
+                    "16-bit score/position packing range shared with "
+                    "the reference: end positions alias mod 65536 and "
+                    "scores >= 32768 corrupt the max tracking",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         t0 = time.perf_counter()
         # Buckets dispatch as soon as each is packed, so host packing and
         # uploads overlap device compute (the JAX analogue of the

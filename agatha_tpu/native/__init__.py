@@ -36,11 +36,15 @@ def _load():
         if (not os.path.exists(_SO)) or any(
             os.path.getmtime(_SO) < os.path.getmtime(s) for s in _SRCS
         ):
+            # build to a private temp file and rename atomically so
+            # concurrent processes never dlopen a half-written .so
+            tmp = f"{_SO}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _SO] + _SRCS,
+                 "-o", tmp] + _SRCS,
                 check=True, capture_output=True,
             )
+            os.replace(tmp, _SO)
         lib = ctypes.CDLL(_SO)
         i64 = ctypes.c_int64
         p8 = ctypes.POINTER(ctypes.c_uint8)
@@ -50,13 +54,9 @@ def _load():
         lib.agatha_encode_batch.restype = ctypes.c_int
         lib.agatha_pack_nibbles.argtypes = [p8, i64, i64, p8]
         lib.agatha_pack_nibbles.restype = ctypes.c_int
-        lib.agatha_encode_pack_batch.argtypes = [
-            p8, p64, p8, i64, p8, i64, p32,
-        ]
-        lib.agatha_encode_pack_batch.restype = ctypes.c_int
         i32 = ctypes.c_int32
         lib.agatha_traceback.argtypes = [
-            p8, p8, i32, i32, i32, i32, i32, i32, i32,
+            p8, p8, i32, i32, i32, i32, i32, i32, i32, i32,
             ctypes.c_char_p, i64, p64,
         ]
         lib.agatha_traceback.restype = ctypes.c_int
@@ -127,11 +127,14 @@ def traceback(
     q_end: int,
     t_end: int,
     cfg,
+    bw_region: int | None = None,
 ) -> tuple[str, int] | None:
     """Native CIGAR traceback; None when the library is unavailable."""
     lib = _load()
     if lib is None:
         return None
+    if bw_region is None:
+        bw_region = max(cfg.band_width, abs(q_end - t_end)) + 16
     qc = np.ascontiguousarray(q_codes, np.uint8)
     tc = np.ascontiguousarray(t_codes, np.uint8)
     cap = 16 * (q_end + t_end + 8) + 64
@@ -142,7 +145,7 @@ def traceback(
         ctypes.c_int32(q_end), ctypes.c_int32(t_end),
         ctypes.c_int32(cfg.match), ctypes.c_int32(cfg.mismatch),
         ctypes.c_int32(cfg.gap_oe), ctypes.c_int32(cfg.gap_extend),
-        ctypes.c_int32(cfg.band_width),
+        ctypes.c_int32(cfg.band_width), ctypes.c_int32(bw_region),
         buf, ctypes.c_int64(cap),
         score.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )

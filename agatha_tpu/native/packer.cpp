@@ -95,32 +95,5 @@ int agatha_pack_nibbles(const uint8_t* in, int64_t n, int64_t stride,
   return 0;
 }
 
-// Fused: encode (with ops) directly into nibble-packed rows.
-// out: (n, stride_packed) where stride_packed = stride_codes / 2.
-int agatha_encode_pack_batch(const uint8_t* blob, const int64_t* offsets,
-                             const uint8_t* ops, int64_t n, uint8_t* out,
-                             int64_t stride_packed, int32_t* lens) {
-  for (int64_t i = 0; i < n; ++i) {
-    const uint8_t* seq = blob + offsets[i];
-    const int64_t len = offsets[i + 1] - offsets[i];
-    const int64_t padded = (len + 7) & ~int64_t(7);
-    if (padded > 2 * stride_packed) return -1;
-    lens[i] = static_cast<int32_t>(len);
-    uint8_t* orow = out + i * stride_packed;
-    const uint8_t op = ops ? ops[i] : 0;
-    uint8_t codes[2];
-    for (int64_t j = 0; j < padded; j += 2) {
-      for (int k = 0; k < 2; ++k) {
-        const int64_t pos = j + k;
-        int64_t src = (op & 0x1) ? (padded - 1 - pos) : pos;
-        uint8_t c = (src < len) ? (seq[src] & 0xF) : kNCode;
-        if (op & 0x2) c = complement(c);
-        codes[k] = c;
-      }
-      orow[j / 2] = static_cast<uint8_t>(codes[0] | (codes[1] << 4));
-    }
-  }
-  return 0;
-}
 
 }  // extern "C"

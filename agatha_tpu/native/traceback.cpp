@@ -32,18 +32,24 @@ extern "C" {
 
 // Returns 0 on success; fills cigar_out (run-length encoded, NUL
 // terminated) and score_out.  Returns -1 if cigar_cap is too small.
+// bw gates the boundary inits (the scoring band); bw_region widens the
+// walk-back region so end positions the kernel reports from
+// band-exempt chunk-interior cells stay inside the stored flags.
 int agatha_traceback(const uint8_t* qcodes, const uint8_t* tcodes,
                      int32_t q_end, int32_t t_end, int32_t match,
                      int32_t mism, int32_t goe, int32_t ge, int32_t bw,
-                     char* cigar_out, int64_t cigar_cap,
-                     int64_t* score_out) {
+                     int32_t bw_region, char* cigar_out,
+                     int64_t cigar_cap, int64_t* score_out) {
   const int64_t nq = q_end + 1;
   const int64_t nt = t_end + 1;
+  const int64_t bwr = bw_region;
   const int64_t width =
-      (2LL * bw + 1 < nq) ? (2LL * bw + 1) : nq;
+      (2LL * bwr + 1 < nq) ? (2LL * bwr + 1) : nq;
 
-  auto lo = [&](int64_t r) { return r - bw > 0 ? r - bw : 0; };
-  auto hi = [&](int64_t r) { return r + bw < nq - 1 ? r + bw : nq - 1; };
+  auto lo = [&](int64_t r) { return r - bwr > 0 ? r - bwr : 0; };
+  auto hi = [&](int64_t r) {
+    return r + bwr < nq - 1 ? r + bwr : nq - 1;
+  };
 
   // flags: bits 0-1 H source (0 diag, 1 E, 2 F); bit 2 E opened from
   // temp; bit 3 F opened from temp.

@@ -631,31 +631,6 @@ def _align_bucket_jit(meta, tcodes, qfwd, *, cfg, w, qf, safe16, interpret,
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "shapes", "interpret")
-)
-def _align_many_jit(arrays, *, cfg, shapes, interpret):
-    """Align several buckets in ONE compiled program.
-
-    Per-execution dispatch latency through the serving path is large
-    relative to kernel time, so the engine fuses every bucket of a batch
-    into a single XLA program: one upload set, one execution, one fetch.
-
-    arrays: flat tuple (meta0, tcodes0, qfwd0, meta1, ...);
-    shapes: tuple of (w, qf, safe16, windowed) per bucket (static).
-    """
-    outs = []
-    for bi, (w, qf, safe16, windowed) in enumerate(shapes):
-        meta, tcodes, qfwd = arrays[3 * bi : 3 * bi + 3]
-        outs.append(
-            _align_bucket_impl(
-                meta, tcodes, qfwd, cfg=cfg, w=w, qf=qf, safe16=safe16,
-                interpret=interpret, windowed=windowed,
-            )
-        )
-    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-
-
 def align_bucket(
     meta: np.ndarray | jax.Array,
     tcodes: np.ndarray | jax.Array,

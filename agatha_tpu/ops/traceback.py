@@ -73,27 +73,37 @@ def traceback_one(
         if h00 != 0:
             return "", 0
 
-    # native path: ~50x faster than the NumPy reference implementation
+    # Region band: the kernel's band-exempt chunk-interior cells can
+    # place the best end up to ~7 cells outside |q-r| <= bw
+    # (reference_sim docstring), so the walk-back region must be wider
+    # than the scoring band or the end position itself may fall outside
+    # the stored flags.  Boundary inits still use the true bw.
+    bw_region = max(cfg.band_width, abs(q_end - t_end)) + 16
+
+    # native path: ~6x faster than the NumPy reference implementation
     # below (which remains the semantic contract it is tested against)
     from agatha_tpu import native
 
-    nres = native.traceback(q_codes, t_codes, q_end, t_end, cfg)
+    nres = native.traceback(
+        q_codes, t_codes, q_end, t_end, cfg, bw_region
+    )
     if nres is not None:
         return nres
-    bw = cfg.band_width
+    bw = cfg.band_width            # scoring band (boundary inits)
+    bwr = bw_region                # walk-back region (see above)
     goe, ge = cfg.gap_oe, cfg.gap_extend
 
     nq = q_end + 1          # columns (query)
     nt = t_end + 1          # rows (target)
 
     # banded storage: row r holds columns [lo(r), hi(r)]
-    width = min(2 * bw + 1, nq)
+    width = min(2 * bwr + 1, nq)
 
     def lo(r):
-        return max(0, r - bw)
+        return max(0, r - bwr)
 
     def hi(r):
-        return min(nq - 1, r + bw)
+        return min(nq - 1, r + bwr)
 
     flags = np.zeros((nt, width), np.uint8)
 

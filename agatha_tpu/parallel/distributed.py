@@ -22,17 +22,20 @@ def initialize(
     num_processes: int | None = None,
     process_id: int | None = None,
 ) -> None:
-    """Initialize multi-host JAX (no-op when single-process).
+    """Initialize multi-host JAX.
 
-    Wraps `jax.distributed.initialize`; on TPU pods the arguments are
-    discovered from the environment automatically.
+    Wraps `jax.distributed.initialize`; with no arguments, discovery is
+    delegated to JAX (works on TPU pod environments).  Only call this
+    in multi-process runs — single-process users should not.
     """
-    if num_processes is not None and num_processes > 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    kw = {}
+    if coordinator_address is not None:
+        kw["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
 
 
 def host_shard(n_items: int) -> slice:

@@ -91,8 +91,13 @@ def align_bucket_sharded(
     )
 
 
-def pad_rows(arr: np.ndarray, rows: int, fill=0) -> np.ndarray:
-    """Pad array along axis 0 to `rows` rows."""
+def pad_rows(arr: np.ndarray, rows: int, fill=1) -> np.ndarray:
+    """Pad array along axis 0 to `rows` rows.
+
+    The default fill of 1 keeps padded meta rows on align_bucket's
+    documented dummy-pair contract (qlen = rlen = 1); a fill of 1 in
+    code arrays is a harmless base code.
+    """
     if arr.shape[0] == rows:
         return arr
     pad = np.full((rows - arr.shape[0],) + arr.shape[1:], fill, arr.dtype)

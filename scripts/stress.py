@@ -88,21 +88,23 @@ def main():
         out = np.asarray(
             align_bucket(meta, tcodes, qfwd, cfg, force_strips=force)
         )
+        round_bad = 0
         for p, (qc, tc, ql, rl) in enumerate(pairs):
             exp = align_one_sweep(qc, tc, ql, rl, cfg)
             got = tuple(int(v) for v in out[p, :3])
             total += 1
             if got != tuple(exp):
-                bad += 1
+                round_bad += 1
                 print(
                     f"MISMATCH round={rd} cfg=(bw={cfg.band_width},"
                     f"z={cfg.z_threshold},sw={cfg.slice_width}) "
                     f"pair={p} ql={ql} rl={rl} exp={tuple(exp)} got={got}"
                 )
+        bad += round_bad
         print(f"round {rd + 1}/{rounds} "
               f"(bw={cfg.band_width}, z={cfg.z_threshold}, "
               f"strips={'forced' if force else 'auto'}): "
-              f"{16 - bad}/16 ok")
+              f"{16 - round_bad}/16 ok")
     print(f"stress: {total - bad}/{total} pairs bit-exact")
     sys.exit(1 if bad else 0)
 

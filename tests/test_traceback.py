@@ -74,6 +74,33 @@ def test_random_pairs_path_valid(rng, cfg):
         _check_pair(q, t, cfg)
 
 
+def test_end_position_outside_band(rng):
+    """Band-exempt chunk-interior cells can report end positions up to
+    ~7 cells outside |q - r| <= bw; the walk-back region must cover
+    them (regression: this used to IndexError / return -2)."""
+    cfg = AlignConfig(match=2, mismatch=3, gap_open=2, gap_extend=1,
+                      band_width=1)
+    found = False
+    for _ in range(200):
+        ql = int(rng.integers(8, 24))
+        rl = int(rng.integers(8, 24))
+        q = random_seq(rng, ql)
+        t = random_seq(rng, rl)
+        qc = encode_padded(q)
+        tc = encode_padded(t)
+        score, q_end, t_end = align_one_sweep(qc, tc, ql, rl, cfg)
+        cigar, tb_score = traceback_one(
+            qc, tc, q_end, t_end, cfg, expected_score=score
+        )
+        if cigar == "":
+            continue
+        qc_n, tc_n = cigar_to_pairs(cigar)
+        assert qc_n == q_end + 1 and tc_n == t_end + 1
+        if abs(q_end - t_end) > cfg.band_width:
+            found = True
+    assert found, "no out-of-band end case generated; widen the search"
+
+
 def test_native_traceback_matches_python(rng):
     """The C++ traceback must equal the NumPy reference exactly."""
     import agatha_tpu.native as nv
