@@ -80,6 +80,22 @@ def test_empty_batch_and_empty_sequence(rng):
         engine.align([(q, q, 4, 0)])
 
 
+def test_packing_limit_warning(rng):
+    import warnings
+
+    engine = AlignEngine(AlignConfig(), interpret=True)  # match=2
+    q = random_seq(rng, 40)
+    qc = encode_padded(q)
+    fake_long = 17000  # match * min(ql, rl) >= 2^15
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        try:
+            engine.align([(qc, qc, fake_long, fake_long)])
+        except Exception:
+            pass  # array/meta mismatch may fail later; warning first
+        assert any("16-bit" in str(x.message) for x in w)
+
+
 def test_cli_end_to_end(tmp_path, rng):
     qs, ts, ops = [], [], []
     for i in range(5):
