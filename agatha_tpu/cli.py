@@ -4,8 +4,11 @@ Drop-in analogue of the reference's `manual` binary
 (test_prog/test_prog.cpp + args_parser.cpp:74-89): same flags, same
 FASTA pair input convention, same stdout format
 (``score\tquery_batch_end=..\ttarget_batch_end=..``, test_prog.cpp:361-366)
-and the same raw-time file contract (one kernel-window ms per batch when
--p is given, gasal_align.cu:219-236).
+and the same raw-time file shape: one line per bucket when -p is given,
+mirroring the reference's one cudaEvent line per batch
+(gasal_align.cu:219-236).  Caveat: our per-bucket times are host
+wall-clock around dispatch+completion and include bucket packing and
+upload, not device-event-only time.
 
 Usage:
     python -m agatha_tpu.cli [-m] [-x] [-q] [-r] [-s] [-z] [-w] [-b] [-t]
@@ -42,7 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-a", type=int, default=8192,
                    help="alignments per kernel batch [8192]")
     p.add_argument("-p", action="store_true",
-                   help="print alignment results and kernel times")
+                   help="print alignment results and kernel times "
+                        "(warm-run timing; without -p the reported "
+                        "process time includes JIT compilation)")
     p.add_argument("-n", type=int, default=1,
                    help="(ignored on TPU) CPU threads")
     p.add_argument("--interpret", action="store_true",
@@ -86,16 +91,23 @@ def main(argv: list[str] | None = None) -> int:
     load_ms = (time.perf_counter() - t_load) * 1e3
 
     encoded = engine.encode_pairs(pairs)
-    # First align compiles + produces results; the reported kernel time
-    # comes from a second, warm run (the reference's timed window also
-    # excludes compilation: nvcc compiles ahead of time).
     if args.cigar:
         args.p = True  # CIGARs are results; computing them unprinted
         #               would be silent wasted work
-    result = engine.align(encoded, traceback=args.cigar)
     if args.p:
-        timed = engine.align(encoded)
-        result.kernel_ms = timed.kernel_ms
+        # Warm-up run compiles the kernels; results + timing then come
+        # from a single warm run (results are deterministic, so nothing
+        # is lost by discarding the cold pass — the reference's timed
+        # window also excludes compilation: nvcc compiles ahead of
+        # time).  CIGARs are computed once, on the warm run, after the
+        # timing window closes.
+        engine.align(encoded)
+        result = engine.align(
+            encoded, traceback=args.cigar,
+            per_bucket_times=bool(args.raw_file),
+        )
+    else:
+        result = engine.align(encoded)
 
     if args.p:
         out = sys.stdout
@@ -110,8 +122,12 @@ def main(argv: list[str] | None = None) -> int:
                 line += f"\tcigar={result.cigars[i]}"
             write(line + "\n")
         if args.raw_file:
+            # One line per bucket (the reference writes one per batch,
+            # gasal_align.cu:219-236); avg_time.py sums lines per
+            # iteration either way.
             with open(args.raw_file, "a") as rf:
-                rf.write(f"{result.kernel_ms:.6f}\n")
+                for ms in result.bucket_ms or [result.kernel_ms]:
+                    rf.write(f"{ms:.6f}\n")
 
     print(
         f"load time (in milliseconds): {load_ms:.3f}",

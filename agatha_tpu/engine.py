@@ -61,6 +61,7 @@ class AlignmentResult:
     n_buckets: int = 0
     kernel_ms: float = 0.0    # wall-clock of the dispatch+gather window
     cigars: list[str] | None = None  # when traceback was requested
+    bucket_ms: list[float] | None = None  # per-bucket completion deltas
 
 
 @dataclasses.dataclass
@@ -199,10 +200,21 @@ class AlignEngine:
         encoded: list[tuple[np.ndarray, np.ndarray, int, int]],
         *,
         traceback: bool = False,
+        per_bucket_times: bool = False,
     ) -> AlignmentResult:
         """Align all pairs; optionally compute CIGARs (new capability —
         the reference outputs score + end positions only,
-        agatha_kernel.h:359-363)."""
+        agatha_kernel.h:359-363).
+
+        ``per_bucket_times`` records one completion delta per bucket
+        (the analogue of the reference's one cudaEvent line per batch,
+        gasal_align.cu:219-236) at the cost of one tiny device fetch
+        per bucket; leave it off on latency-sensitive paths.
+
+        ``kernel_ms`` covers the whole dispatch+gather window — host
+        bucket packing and upload included — unlike the reference's
+        device-event-only number.
+        """
         import time
 
         import jax.numpy as jnp
@@ -212,6 +224,7 @@ class AlignEngine:
             z = np.zeros(0, np.int32)
             return AlignmentResult(z, z, z, z, cigars=[] if traceback
                                    else None)
+        over_range: list[int] = []
         for i, (_qc, _tc, ql, rl) in enumerate(encoded):
             if ql < 1 or rl < 1:
                 raise ValueError(
@@ -224,16 +237,26 @@ class AlignEngine:
             # gasal.h:147, agatha_kernel.h:29-30).  Results degrade the
             # same way the reference's would — warn, don't refuse.
             if rl > 0xFFFF or self.cfg.match * min(ql, rl) >= 0x8000:
-                import warnings
+                over_range.append(i)
+        if over_range:
+            # One aggregated warning per call: a per-pair message would
+            # defeat the warnings-registry dedupe and flood stderr on
+            # large long-read batches.
+            import warnings
 
-                warnings.warn(
-                    f"pair {i} (qlen={ql}, rlen={rl}) exceeds the "
-                    "16-bit score/position packing range shared with "
-                    "the reference: end positions alias mod 65536 and "
-                    "scores >= 32768 corrupt the max tracking",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
+            head = ", ".join(map(str, over_range[:5]))
+            more = (
+                f" (+{len(over_range) - 5} more)"
+                if len(over_range) > 5 else ""
+            )
+            warnings.warn(
+                f"{len(over_range)} pair(s) [{head}{more}] exceed the "
+                "16-bit score/position packing range shared with the "
+                "reference: end positions alias mod 65536 and scores "
+                ">= 32768 corrupt the max tracking",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         t0 = time.perf_counter()
         # Buckets dispatch as soon as each is packed, so host packing and
         # uploads overlap device compute (the JAX analogue of the
@@ -250,7 +273,25 @@ class AlignEngine:
                     interpret=self.interpret,
                 )
             )
-        if len(pending) > 1:
+        bucket_ms: list[float] | None = None
+        if per_bucket_times:
+            # Sequential per-bucket fetches in dispatch order: bucket
+            # i's fetch returns once its kernel is done, so the deltas
+            # approximate per-bucket completion times (compute still
+            # overlaps; only the fetches serialize).  block_until_ready
+            # is not reliable through the serving tunnel, hence value
+            # fetches; result arrays are tiny so fetching them whole
+            # replaces the device-side concat.
+            bucket_ms = []
+            outs = []
+            tprev = time.perf_counter()
+            for p in pending:
+                outs.append(np.asarray(p))
+                tnow = time.perf_counter()
+                bucket_ms.append((tnow - tprev) * 1e3)
+                tprev = tnow
+            all_out = np.concatenate(outs) if len(outs) > 1 else outs[0]
+        elif len(pending) > 1:
             all_out = np.asarray(jnp.concatenate(pending, axis=0))
         else:
             all_out = np.asarray(pending[0])
@@ -284,6 +325,7 @@ class AlignEngine:
         return AlignmentResult(
             scores, qends, tends, diags,
             n_buckets=len(buckets), kernel_ms=ms, cigars=cigars,
+            bucket_ms=bucket_ms,
         )
 
     def align_pairs(self, pairs: list[SeqPair]) -> AlignmentResult:

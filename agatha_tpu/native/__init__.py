@@ -21,7 +21,34 @@ _SRCS = [
     os.path.join(_DIR, "packer.cpp"),
     os.path.join(_DIR, "traceback.cpp"),
 ]
-_SO = os.path.join(_DIR, "_packer.so")
+
+
+def _arch_tag() -> str:
+    """Microarchitecture fingerprint embedded in the cached .so name.
+
+    The library is built -march=native; on a shared filesystem (NFS
+    home on a pod) or a pre-baked container image another host could
+    otherwise dlopen a binary with unsupported instructions and die
+    with SIGILL mid-call.  Hashing the CPU feature-flag set gives each
+    microarchitecture its own cache entry.
+    """
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha256(feats.encode()).hexdigest()[:10]
+    return f"{platform.machine()}-{h}"
+
+
+_SO = os.path.join(_DIR, f"_packer.{_arch_tag()}.so")
 
 _lib = None
 _tried = False
@@ -138,20 +165,34 @@ def traceback(
     qc = np.ascontiguousarray(q_codes, np.uint8)
     tc = np.ascontiguousarray(t_codes, np.uint8)
     cap = 16 * (q_end + t_end + 8) + 64
-    buf = ctypes.create_string_buffer(cap)
     score = np.zeros(1, np.int64)
-    rc = lib.agatha_traceback(
-        _p8(qc), _p8(tc),
-        ctypes.c_int32(q_end), ctypes.c_int32(t_end),
-        ctypes.c_int32(cfg.match), ctypes.c_int32(cfg.mismatch),
-        ctypes.c_int32(cfg.gap_oe), ctypes.c_int32(cfg.gap_extend),
-        ctypes.c_int32(cfg.band_width), ctypes.c_int32(bw_region),
-        buf, ctypes.c_int64(cap),
-        score.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-    )
-    if rc != 0:
-        return None
-    return buf.value.decode("ascii"), int(score[0])
+    # rc contract: 0 ok, -1 cigar buffer too small (retry larger),
+    # -2 walk escaped the band (a real failure — raise, don't fall
+    # back to the slow NumPy path only to re-derive the same escape).
+    for _ in range(3):
+        buf = ctypes.create_string_buffer(cap)
+        rc = lib.agatha_traceback(
+            _p8(qc), _p8(tc),
+            ctypes.c_int32(q_end), ctypes.c_int32(t_end),
+            ctypes.c_int32(cfg.match), ctypes.c_int32(cfg.mismatch),
+            ctypes.c_int32(cfg.gap_oe), ctypes.c_int32(cfg.gap_extend),
+            ctypes.c_int32(cfg.band_width), ctypes.c_int32(bw_region),
+            buf, ctypes.c_int64(cap),
+            score.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if rc == 0:
+            return buf.value.decode("ascii"), int(score[0])
+        if rc == -1:
+            cap *= 4
+            continue
+        break
+    if rc == -2:
+        raise RuntimeError(
+            f"traceback escaped the band (q_end={q_end}, t_end={t_end}, "
+            f"bw_region={bw_region}): the kernel-reported end position "
+            "is not reachable inside the walk-back region"
+        )
+    raise RuntimeError(f"native traceback failed with rc={rc}")
 
 
 def pack_nibbles_rows(codes: np.ndarray) -> np.ndarray:

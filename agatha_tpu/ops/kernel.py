@@ -609,8 +609,8 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
             # Sequences stay in HBM; the kernel DMAs fixed-size windows
             # into VMEM scratch (slicing big VMEM refs is pathologically
             # slow, and this keeps VMEM use length-independent).
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((B_PAIRS, 4), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),

@@ -44,9 +44,12 @@ echo ">>> Running $PROCESS for $ITER iterations."
 iter=0
 while [ "$iter" -lt "$ITER" ]; do
     echo ">> Iteration $((iter + 1))"
-    # Canonical parameters (reference cite: AGAThA.sh:44).
+    # Canonical parameters and positional order (reference cite:
+    # AGAThA.sh:44 — ref.fasta rides in the FIRST slot, the one the
+    # binary calls query_batch; alignment is not symmetric in
+    # q_end/t_end, so the order matters on real datasets).
     python -m agatha_tpu.cli -p -m 1 -x 4 -q 6 -r 2 -s 3 -z 400 -w 751 \
-        "$QUERY" "$TARGET" "$RAW_FILE" > "$SCORE_FILE"
+        "$TARGET" "$QUERY" "$RAW_FILE" > "$SCORE_FILE"
     iter=$((iter + 1))
     if [ "$iter" -lt "$ITER" ]; then sleep "$IDLE"; fi
 done

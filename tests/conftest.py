@@ -12,11 +12,17 @@ import os
 # PALLAS_AXON_POOL_IPS is set, so a plain setdefault is not enough.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# Rewrite any pre-existing device-count flag rather than asserting on it
+# later: the suite is built around an 8-device mesh.
+import re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+flags = re.sub(
+    r"--xla_force_host_platform_device_count=\d+", "", flags
+).strip()
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax
 
@@ -29,8 +35,14 @@ import pytest
 
 
 def pytest_configure(config):
-    assert jax.default_backend() == "cpu", jax.default_backend()
-    assert len(jax.devices()) == 8, jax.devices()
+    if jax.default_backend() != "cpu" or len(jax.devices()) != 8:
+        pytest.exit(
+            "test suite needs the 8-device CPU backend but got "
+            f"{jax.default_backend()} x{len(jax.devices())}; a process "
+            "that imported jax before conftest.py pinned XLA_FLAGS is "
+            "the usual cause",
+            returncode=3,
+        )
 
 
 @pytest.fixture

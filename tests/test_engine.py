@@ -81,19 +81,35 @@ def test_empty_batch_and_empty_sequence(rng):
 
 
 def test_packing_limit_warning(rng):
+    """Over-range pairs warn once per call AND still flow through with
+    the oracle-identical (degraded) results the reference would give."""
     import warnings
 
-    engine = AlignEngine(AlignConfig(), interpret=True)  # match=2
-    q = random_seq(rng, 40)
-    qc = encode_padded(q)
-    fake_long = 17000  # match * min(ql, rl) >= 2^15
+    from agatha_tpu.ops.sweep import align_one_sweep
+
+    # match * min(ql, rl) >= 2^15 with a real 48-base pair: the exact
+    # overflow the reference's (H<<16)|r packing exhibits.
+    cfg = AlignConfig(match=800, mismatch=4, gap_open=6, gap_extend=2,
+                      z_threshold=400, band_width=751)
+    engine = AlignEngine(cfg, interpret=True)
+    pairs = []
+    for _ in range(2):
+        q = random_seq(rng, 48)
+        qc = encode_padded(q)
+        tc = encode_padded(mutate(rng, q))
+        pairs.append((qc, tc, 48, len(tc)))
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        try:
-            engine.align([(qc, qc, fake_long, fake_long)])
-        except Exception:
-            pass  # array/meta mismatch may fail later; warning first
-        assert any("16-bit" in str(x.message) for x in w)
+        res = engine.align(pairs)
+        msgs = [x for x in w if "16-bit" in str(x.message)]
+        # one aggregated warning per align() call, not one per pair
+        assert len(msgs) == 1
+        assert "2 pair(s)" in str(msgs[0].message)
+    for i, (qc, tc, ql, rl) in enumerate(pairs):
+        score, qe, te = align_one_sweep(qc, tc, ql, rl, cfg)
+        assert res.scores[i] == score
+        assert res.query_ends[i] == qe
+        assert res.target_ends[i] == te
 
 
 def test_cli_end_to_end(tmp_path, rng):
