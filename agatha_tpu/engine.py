@@ -312,16 +312,11 @@ class AlignEngine:
         ms = (time.perf_counter() - t0) * 1e3
         cigars = None
         if traceback:
-            from agatha_tpu.ops.traceback import traceback_one
+            from agatha_tpu.ops.traceback import traceback_all
 
-            cigars = [
-                traceback_one(
-                    encoded[i][0], encoded[i][1],
-                    int(qends[i]), int(tends[i]), self.cfg,
-                    expected_score=int(scores[i]),
-                )[0]
-                for i in range(n)
-            ]
+            cigars = traceback_all(
+                encoded, qends, tends, scores, self.cfg
+            )
         return AlignmentResult(
             scores, qends, tends, diags,
             n_buckets=len(buckets), kernel_ms=ms, cigars=cigars,

@@ -87,6 +87,17 @@ def _load():
             ctypes.c_char_p, i64, p64,
         ]
         lib.agatha_traceback.restype = ctypes.c_int
+        lib.agatha_traceback_adaptive.argtypes = [
+            p8, p8, i32, i32, i32, i32, i32, i32, i32, i64,
+            ctypes.c_char_p, i64, p64,
+        ]
+        lib.agatha_traceback_adaptive.restype = ctypes.c_int
+        lib.agatha_traceback_batch.argtypes = [
+            p8, p64, p8, p64, p32, p32, p64, i64,
+            i32, i32, i32, i32, i32,
+            ctypes.c_char_p, i64, p64, p32, i32,
+        ]
+        lib.agatha_traceback_batch.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -193,6 +204,116 @@ def traceback(
             "is not reachable inside the walk-back region"
         )
     raise RuntimeError(f"native traceback failed with rc={rc}")
+
+
+def traceback_adaptive(
+    q_codes: np.ndarray,
+    t_codes: np.ndarray,
+    q_end: int,
+    t_end: int,
+    cfg,
+    expected_score: int,
+) -> tuple[str, int] | None:
+    """Adaptive-band CIGAR traceback; None when the library is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    qc = np.ascontiguousarray(q_codes, np.uint8)
+    tc = np.ascontiguousarray(t_codes, np.uint8)
+    cap = 4 * (q_end + t_end + 8) + 64
+    buf = ctypes.create_string_buffer(cap)
+    score = np.zeros(1, np.int64)
+    rc = lib.agatha_traceback_adaptive(
+        _p8(qc), _p8(tc),
+        ctypes.c_int32(q_end), ctypes.c_int32(t_end),
+        ctypes.c_int32(cfg.match), ctypes.c_int32(cfg.mismatch),
+        ctypes.c_int32(cfg.gap_oe), ctypes.c_int32(cfg.gap_extend),
+        ctypes.c_int32(cfg.band_width),
+        ctypes.c_int64(expected_score),
+        buf, ctypes.c_int64(cap),
+        score.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc == -2:
+        raise RuntimeError(
+            f"traceback escaped the walk-back window (q_end={q_end}, "
+            f"t_end={t_end}): the kernel-reported end position is not "
+            "reachable inside the region"
+        )
+    if rc != 0:
+        raise RuntimeError(f"native adaptive traceback rc={rc}")
+    return buf.value.decode("ascii"), int(score[0])
+
+
+def traceback_batch(
+    encoded: list,
+    q_ends: np.ndarray,
+    t_ends: np.ndarray,
+    expected: np.ndarray,
+    cfg,
+    n_threads: int = 0,
+) -> list[str] | None:
+    """Batch adaptive-band CIGAR traceback; None when unavailable.
+
+    encoded: list of (q_codes, t_codes, qlen, rlen).  The adaptive
+    engine starts from a narrow window skewed along the end-point line
+    and widens until the achieved score equals ``expected`` (the score
+    the TPU kernel reported) — see native/traceback.cpp engine 2.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(encoded)
+    if n == 0:
+        return []
+    qoff = np.zeros(n + 1, np.int64)
+    toff = np.zeros(n + 1, np.int64)
+    np.cumsum([len(e[0]) for e in encoded], out=qoff[1:])
+    np.cumsum([len(e[1]) for e in encoded], out=toff[1:])
+    qblob = np.concatenate([np.asarray(e[0], np.uint8) for e in encoded])
+    tblob = np.concatenate([np.asarray(e[1], np.uint8) for e in encoded])
+    qe = np.ascontiguousarray(q_ends, np.int32)
+    te = np.ascontiguousarray(t_ends, np.int32)
+    exp = np.ascontiguousarray(expected, np.int64)
+    # Worst-case CIGAR: alternating single ops, 2 bytes per op.
+    per_cap = int(4 * (qe.max() + te.max() + 8) + 64)
+    cigars = np.zeros((n, per_cap), np.uint8)
+    scores = np.zeros(n, np.int64)
+    rcs = np.zeros(n, np.int32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.agatha_traceback_batch(
+        _p8(qblob), qoff.ctypes.data_as(p64),
+        _p8(tblob), toff.ctypes.data_as(p64),
+        qe.ctypes.data_as(p32), te.ctypes.data_as(p32),
+        exp.ctypes.data_as(p64), ctypes.c_int64(n),
+        ctypes.c_int32(cfg.match), ctypes.c_int32(cfg.mismatch),
+        ctypes.c_int32(cfg.gap_oe), ctypes.c_int32(cfg.gap_extend),
+        ctypes.c_int32(cfg.band_width),
+        cigars.ctypes.data_as(ctypes.c_char_p), ctypes.c_int64(per_cap),
+        scores.ctypes.data_as(p64), rcs.ctypes.data_as(p32),
+        ctypes.c_int32(n_threads),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native traceback_batch failed with rc={rc}")
+    bad = np.flatnonzero(rcs == -2)
+    if bad.size:
+        raise RuntimeError(
+            f"traceback escaped the walk-back window for pairs "
+            f"{bad[:5].tolist()}: kernel-reported end positions are "
+            "not reachable inside the region"
+        )
+    bad = np.flatnonzero(rcs != 0)
+    if bad.size:
+        raise RuntimeError(
+            f"native traceback_batch per-pair failure rc="
+            f"{rcs[bad[0]]} for pairs {bad[:5].tolist()}"
+        )
+    out = []
+    for i in range(n):
+        row = cigars[i]
+        end = int(np.argmin(row)) if row[-1] == 0 else per_cap
+        out.append(row[:end].tobytes().decode("ascii"))
+    return out
 
 
 def pack_nibbles_rows(codes: np.ndarray) -> np.ndarray:

