@@ -102,24 +102,39 @@ def int16_safe(cfg: AlignConfig, max_len: int) -> bool:
 
 # The window advances by SHIFT_Q rows per shift; a shift opportunity
 # occurs every INNER_ITERS packed diagonals (demand rate is 4 rows per
-# packed diagonal, so opportunities outpace demand 2x).
+# packed diagonal, so opportunities outpace demand 4x).
 SHIFT_Q = LANE
-INNER_ITERS = 16
+INNER_ITERS = 8
+# Rows outside the plain band that can still host computed cells
+# (chunk-interior band exemption + slice-clip slop, agatha_kernel.h:
+# 183-186, 224-225: up to ~(8*(sw-1)+7+bw)/16*8-edge effects, < 24
+# rows for sw <= 3) and the shift-policy guard (>= SLOP so a shift
+# never overruns the lowest needed row).
+SLOP = 24
+GUARD = 32
 
 
 def window_width(cfg: AlignConfig) -> int:
     """Lane width of the sliding-window kernel for this config.
 
-    Margin budget on top of the band width bw:
-      * cells on diagonals [d8, d8+8) live in rows
-        [(d8-bw)/2 - 40, (d8+7+bw)/2 + 40] (packed-word + slice slop);
-      * the shift policy keeps vbase <= (d8-bw)/2 - 64 and may lag up
-        to SHIFT_Q + 8*INNER_ITERS/2 rows more between opportunities;
+    Margin budget on top of the band width bw, per half (INNER_ITERS
+    packed diagonals chosen against one window):
+      * worst vbase at half start: the shift policy keeps
+        vbase > (d8-bw)/2 - GUARD - SHIFT_Q (else it would have
+        shifted), and never above (d8-bw)/2 - GUARD;
+      * top row needed by half end (d8 grown by 8*INNER_ITERS):
+        (d8 + 8*INNER_ITERS + 7 + bw)/2 + SLOP;
+      * so W >= bw + 4*INNER_ITERS + 4 + SLOP + GUARD + SHIFT_Q
+        = bw + 220 for the current constants;
       * post-shift qwin healing (one lane per step) needs
-        2W - 384 - 2bw >= SHIFT_Q.
-    All satisfied by bw + 300 rounded up to the lane tile.
+        2W - 384 - 2bw >= SHIFT_Q (holds: 2*220 - 384 = 56 >= ...
+        checked for bw >= 128 window rounding).
+    Rounded up to the lane tile: 1024 lanes for the canonical bw=751
+    (was 1152 with the round-1 margins — an 11% cut in per-substep
+    vector work at identical cell output).
     """
-    return -(-(cfg.band_width + 300) // LANE) * LANE
+    need = cfg.band_width + 4 * INNER_ITERS + 4 + SLOP + GUARD + SHIFT_Q
+    return -(-need // LANE) * LANE
 
 
 def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
@@ -219,9 +234,8 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
         def next_window(d8, vbase):
             """(vbase', blk0') for the half starting at diagonal d8."""
             if windowed:
-                want = ((((d8 - bw) >> 1) - 64) - vbase >= SHIFT_Q) & (
-                    vbase + SHIFT_Q <= wt - W
-                )
+                want = ((((d8 - bw) >> 1) - GUARD) - vbase
+                        >= SHIFT_Q) & (vbase + SHIFT_Q <= wt - W)
                 vbase = vbase + jnp.where(want, SHIFT_Q, 0)
             qoff0 = d8 - vbase
             blk0 = jnp.clip(qoff0 - (qoff0 & 127), 0, qf_len - 3 * LANE)
@@ -261,7 +275,7 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             if windowed:
                 # --- window shift: rows [vbase_prev, vbase) can never
                 # compute again (cells at diag d need rows >=
-                # (d-bw)/2 - 12 and vbase trails by >= 64).  Incoming
+                # (d-bw)/2 - SLOP and vbase trails by >= GUARD).  Incoming
                 # rows are ahead of the wavefront: H/F take their
                 # boundary inits (stationary until computed), the
                 # flowing E is MINUS_INF2, and qwin heals lane-by-lane

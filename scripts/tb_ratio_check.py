@@ -7,6 +7,11 @@ native engine (native/traceback.cpp engine 2) delivers ~1.1-1.4x.
 
 Usage: python scripts/tb_ratio_check.py [n_pairs] [read_len]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 
