@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(ignored on TPU) CPU threads")
     p.add_argument("--interpret", action="store_true",
                    help="run the kernel in interpreter mode (debug)")
+    p.add_argument("--stream", action="store_true",
+                   help="stream the input in -a sized chunks with a "
+                        "bounded in-flight window (O(chunk) memory; "
+                        "stdout identical to the batch path; process "
+                        "time includes compilation of the first chunk)")
     p.add_argument("--cigar", action="store_true",
                    help="append a CIGAR column to each result line "
                         "(capability beyond the reference)")
@@ -85,6 +90,9 @@ def main(argv: list[str] | None = None) -> int:
         EngineConfig(aligns_per_batch=args.a),
         interpret=args.interpret,
     )
+
+    if args.stream:
+        return _main_stream(args, engine)
 
     t_load = time.perf_counter()
     pairs = read_fasta_pairs(args.query_fasta, args.target_fasta)
@@ -139,6 +147,59 @@ def main(argv: list[str] | None = None) -> int:
     )
     print(
         f"pairs={len(pairs)} buckets={result.n_buckets}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _main_stream(args, engine) -> int:
+    """Streaming pipeline: chunked read -> encode -> bounded-window
+    dispatch, results printed as each chunk lands (input order).
+
+    Mirrors the reference driver's bounded <=8192-pair batches with
+    double-buffered streams (test_prog.cpp:245-376); peak memory is
+    O(-a chunk), not O(dataset).
+    """
+    from agatha_tpu.io.fasta import iter_fasta_pairs
+
+    if args.cigar:
+        args.p = True
+    t_all = time.perf_counter()
+    total = 0
+    chunk_ms: list[float] = []
+    out = sys.stdout
+    for res in engine.align_stream(
+        iter_fasta_pairs(args.query_fasta, args.target_fasta),
+        traceback=args.cigar,
+    ):
+        chunk_ms.append(res.kernel_ms)
+        if args.p:
+            for i in range(len(res.scores)):
+                line = (
+                    f"{res.scores[i]}"
+                    f"\tquery_batch_end={res.query_ends[i]}"
+                    f"\ttarget_batch_end={res.target_ends[i]}"
+                )
+                if args.cigar:
+                    line += f"\tcigar={res.cigars[i]}"
+                out.write(line + "\n")
+        total += len(res.scores)
+    process_ms = sum(chunk_ms)
+    if args.p and args.raw_file:
+        with open(args.raw_file, "a") as rf:
+            for ms in chunk_ms:
+                rf.write(f"{ms:.6f}\n")
+    print(
+        "load time (in milliseconds): 0.000 (streamed)",
+        file=sys.stderr,
+    )
+    print(
+        f"process time (in milliseconds): {process_ms:.3f}",
+        file=sys.stderr,
+    )
+    print(
+        f"pairs={total} chunks={len(chunk_ms)} "
+        f"wall={(time.perf_counter() - t_all) * 1e3:.1f}ms",
         file=sys.stderr,
     )
     return 0

@@ -26,7 +26,14 @@ import numpy as np
 
 from agatha_tpu.config import AlignConfig, EngineConfig
 from agatha_tpu.io.fasta import SeqPair
-from agatha_tpu.ops.kernel import B_PAIRS, LANE, align_bucket, pack_nibbles
+from agatha_tpu.ops.kernel import (
+    B_PAIRS,
+    LANE,
+    align_bucket,
+    b_pairs_for_width,
+    pack_nibbles,
+    window_width,
+)
 from agatha_tpu.ops.packing import encode_padded
 
 
@@ -178,8 +185,11 @@ class AlignEngine:
 
         for lo in range(0, n, per_bucket):
             idx = order[lo : lo + per_bucket]
-            gb = -(-len(idx) // B_PAIRS) * B_PAIRS
             w = _round_shape(int(w_need[idx].max()))
+            # program height depends on bucket width (narrow buckets
+            # pack more pairs per program to amortize fixed costs)
+            bp = b_pairs_for_width(w, w > window_width(self.cfg))
+            gb = -(-len(idx) // bp) * bp
             # >= 3 blocks: kernel stages query feeds in 384-lane windows
             qf = max(3 * LANE, _round_shape(int(q_need[idx].max())))
             meta = np.ones((gb, 2), np.int32)
@@ -217,13 +227,20 @@ class AlignEngine:
         """
         import time
 
-        import jax.numpy as jnp
-
         n = len(encoded)
         if n == 0:
             z = np.zeros(0, np.int32)
             return AlignmentResult(z, z, z, z, cigars=[] if traceback
                                    else None)
+        self._validate(encoded)
+        t0 = time.perf_counter()
+        buckets, pending = self._dispatch(encoded)
+        return self._collect(
+            encoded, buckets, pending, t0,
+            traceback=traceback, per_bucket_times=per_bucket_times,
+        )
+
+    def _validate(self, encoded) -> None:
         over_range: list[int] = []
         for i, (_qc, _tc, ql, rl) in enumerate(encoded):
             if ql < 1 or rl < 1:
@@ -257,12 +274,15 @@ class AlignEngine:
                 RuntimeWarning,
                 stacklevel=2,
             )
-        t0 = time.perf_counter()
-        # Buckets dispatch as soon as each is packed, so host packing and
-        # uploads overlap device compute (the JAX analogue of the
-        # reference's fill-next-batch-while-previous-runs streams,
-        # test_prog.cpp:273-374); then ONE device-side concat and a
-        # single fetch (per-fetch round-trip latency dominates otherwise).
+
+    def _dispatch(self, encoded):
+        """Pack into buckets and launch every kernel asynchronously.
+
+        Buckets dispatch as soon as each is packed, so host packing and
+        uploads overlap device compute (the JAX analogue of the
+        reference's fill-next-batch-while-previous-runs streams,
+        test_prog.cpp:273-374).
+        """
         buckets = []
         pending = []
         for b in self.iter_buckets(encoded):
@@ -273,6 +293,20 @@ class AlignEngine:
                     interpret=self.interpret,
                 )
             )
+        return buckets, pending
+
+    def _collect(
+        self, encoded, buckets, pending, t0, *,
+        traceback: bool, per_bucket_times: bool = False,
+    ) -> AlignmentResult:
+        """Fetch dispatched results (ONE device-side concat + a single
+        fetch unless per-bucket timing is on — per-fetch round-trip
+        latency dominates otherwise), reorder, and run traceback."""
+        import time
+
+        import jax.numpy as jnp
+
+        n = len(encoded)
         bucket_ms: list[float] | None = None
         if per_bucket_times:
             # Sequential per-bucket fetches in dispatch order: bucket
@@ -325,3 +359,55 @@ class AlignEngine:
 
     def align_pairs(self, pairs: list[SeqPair]) -> AlignmentResult:
         return self.align(self.encode_pairs(pairs))
+
+    # -- streaming ---------------------------------------------------------
+    def align_stream(
+        self,
+        pairs_iter,
+        *,
+        traceback: bool = False,
+        max_in_flight: int = 3,
+    ):
+        """Stream alignment over an iterator of SeqPairs.
+
+        The analogue of the reference driver's bounded-batch pipeline
+        (test_prog.cpp:245-376: fill batch N+1 while N computes on the
+        other CUDA stream): pairs are consumed in chunks of
+        ``aligns_per_batch`` (-a), each chunk is encoded + dispatched
+        asynchronously, and at most ``max_in_flight`` chunks are alive
+        at once — so peak host memory is O(chunk), not O(dataset),
+        while encoding of chunk N+1 overlaps device compute of N.
+
+        Yields one AlignmentResult per chunk, in input order.
+        """
+        import itertools
+        import time
+        from collections import deque
+
+        chunk_pairs = max(B_PAIRS, self.engine_cfg.aligns_per_batch)
+        it = iter(pairs_iter)
+        window: deque = deque()
+
+        def drain_one():
+            encoded, buckets, pending, t0 = window.popleft()
+            return self._collect(
+                encoded, buckets, pending, t0, traceback=traceback
+            )
+
+        while True:
+            chunk = list(itertools.islice(it, chunk_pairs))
+            if not chunk:
+                break
+            encoded = (
+                chunk
+                if chunk and isinstance(chunk[0], tuple)
+                else self.encode_pairs(chunk)
+            )
+            self._validate(encoded)
+            t0 = time.perf_counter()
+            buckets, pending = self._dispatch(encoded)
+            window.append((encoded, buckets, pending, t0))
+            if len(window) >= max_in_flight:
+                yield drain_one()
+        while window:
+            yield drain_one()

@@ -17,6 +17,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -30,6 +32,32 @@ inline uint8_t complement(uint8_t c) {
     case 7: return 3;   // G -> C
     default: return c;
   }
+}
+
+// Run fn(lo, hi) over [0, n) split across a small thread pool — the
+// analogue of the reference's OpenMP `-n` host parallelism
+// (test_prog.cpp:195-214).  Sequential below kMinPar items (thread
+// startup costs more than the work for small batches).
+const int64_t kMinPar = 4096;
+
+template <typename F>
+void parallel_ranges(int64_t n, F fn) {
+  int64_t nt = (int64_t)std::thread::hardware_concurrency();
+  if (nt > n / kMinPar + 1) nt = n / kMinPar + 1;
+  if (nt <= 1) {
+    fn((int64_t)0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nt - 1);
+  const int64_t per = (n + nt - 1) / nt;
+  for (int64_t t = 1; t < nt; ++t) {
+    const int64_t lo = t * per;
+    const int64_t hi = lo + per < n ? lo + per : n;
+    if (lo < hi) pool.emplace_back([=] { fn(lo, hi); });
+  }
+  fn((int64_t)0, per < n ? per : n);
+  for (auto& th : pool) th.join();
 }
 
 }  // namespace
@@ -53,29 +81,36 @@ extern "C" {
 int agatha_encode_batch(const uint8_t* blob, const int64_t* offsets,
                         const uint8_t* ops, int64_t n, uint8_t* out,
                         int64_t stride, int32_t* lens) {
+  // pre-check so the parallel body cannot fail
   for (int64_t i = 0; i < n; ++i) {
-    const uint8_t* seq = blob + offsets[i];
-    const int64_t len = offsets[i + 1] - offsets[i];
-    const int64_t padded = (len + 7) & ~int64_t(7);
-    if (padded > stride) return -1;
-    lens[i] = static_cast<int32_t>(len);
-    uint8_t* row = out + i * stride;
-    const uint8_t op = ops ? ops[i] : 0;
-    if (op & 0x1) {  // reverse over padded width
-      for (int64_t j = 0; j < len; ++j) {
-        row[padded - 1 - j] = seq[j] & 0xF;
-      }
-      for (int64_t j = len; j < padded; ++j) {
-        row[padded - 1 - j] = kNCode;
-      }
-    } else {
-      for (int64_t j = 0; j < len; ++j) row[j] = seq[j] & 0xF;
-      for (int64_t j = len; j < padded; ++j) row[j] = kNCode;
-    }
-    if (op & 0x2) {  // complement
-      for (int64_t j = 0; j < padded; ++j) row[j] = complement(row[j]);
+    if (((offsets[i + 1] - offsets[i] + 7) & ~int64_t(7)) > stride) {
+      return -1;
     }
   }
+  parallel_ranges(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* __restrict__ seq = blob + offsets[i];
+      const int64_t len = offsets[i + 1] - offsets[i];
+      const int64_t padded = (len + 7) & ~int64_t(7);
+      lens[i] = static_cast<int32_t>(len);
+      uint8_t* __restrict__ row = out + i * stride;
+      const uint8_t op = ops ? ops[i] : 0;
+      if (op & 0x1) {  // reverse over padded width
+        for (int64_t j = 0; j < len; ++j) {
+          row[padded - 1 - j] = seq[j] & 0xF;
+        }
+        for (int64_t j = len; j < padded; ++j) {
+          row[padded - 1 - j] = kNCode;
+        }
+      } else {
+        for (int64_t j = 0; j < len; ++j) row[j] = seq[j] & 0xF;
+        for (int64_t j = len; j < padded; ++j) row[j] = kNCode;
+      }
+      if (op & 0x2) {  // complement
+        for (int64_t j = 0; j < padded; ++j) row[j] = complement(row[j]);
+      }
+    }
+  });
   return 0;
 }
 
@@ -85,13 +120,16 @@ int agatha_pack_nibbles(const uint8_t* in, int64_t n, int64_t stride,
                         uint8_t* out) {
   if (stride % 2) return -1;
   const int64_t half = stride / 2;
-  for (int64_t i = 0; i < n; ++i) {
-    const uint8_t* row = in + i * stride;
-    uint8_t* orow = out + i * half;
-    for (int64_t j = 0; j < half; ++j) {
-      orow[j] = static_cast<uint8_t>(row[2 * j] | (row[2 * j + 1] << 4));
+  parallel_ranges(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* __restrict__ row = in + i * stride;
+      uint8_t* __restrict__ orow = out + i * half;
+      for (int64_t j = 0; j < half; ++j) {
+        orow[j] =
+            static_cast<uint8_t>(row[2 * j] | (row[2 * j + 1] << 4));
+      }
     }
-  }
+  });
   return 0;
 }
 

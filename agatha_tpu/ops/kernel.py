@@ -47,10 +47,27 @@ from jax.experimental.pallas import tpu as pltpu
 from agatha_tpu.config import AlignConfig
 from agatha_tpu.constants import INT32_MIN, MINUS_INF2, N_PENALTY, N_VALUE
 
-# Pairs per program instance == int32 sublane tile height.
+# Pairs per program instance == int32 sublane tile height (default;
+# narrow buckets use more — see b_pairs_for_width).
 B_PAIRS = 8
 # Lane tile width; W must be a multiple of this.
 LANE = 128
+
+
+def b_pairs_for_width(w: int, windowed: bool = False) -> int:
+    """Pairs per program for a bucket of lane width w.
+
+    At large W the kernel is vector-throughput-bound and per-pair cost
+    is flat in B (measured: B=16/32 at W=1152 gain nothing), but at
+    short-read widths (128-512 lanes) the per-substep FIXED costs
+    (rolls, cross-lane max, scalar bookkeeping) dominate — measured
+    ~660 ns/substep at W=128 vs ~215 at W=1024 — so packing more pairs
+    into the sublane dimension amortizes them.  Cap the program's lane
+    area at 64 tiles (B*w <= 8192 lanes).
+    """
+    if windowed:
+        return B_PAIRS
+    return max(8, min(64, (8192 // w // 8) * 8))
 
 _I32 = jnp.int32
 
@@ -138,14 +155,15 @@ def window_width(cfg: AlignConfig) -> int:
 
 
 def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
-                 windowed: bool = False, wt: int | None = None):
+                 windowed: bool = False, wt: int | None = None,
+                 b_pairs: int = B_PAIRS):
     # W: lane width of the state window; wt: full tcodes width (== W
     # unless windowed).
     wt = W if wt is None else wt
     sw, bw, z = cfg.slice_width, cfg.band_width, cfg.z_threshold
     goe, ge = cfg.gap_oe, cfg.gap_extend
     match, mism = cfg.match, cfg.mismatch
-    B = B_PAIRS
+    B = b_pairs
     P8 = 8 * sw
 
     if safe16:
@@ -593,14 +611,17 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
                        interpret, windowed=False):
     """Traceable bucket alignment (call under jit)."""
     gb = tcodes.shape[0]
-    grid = (gb // B_PAIRS,)
+    # cap the program height at the (possibly sharded) row count
+    bp = min(b_pairs_for_width(w, windowed), gb)
+    assert gb % bp == 0, (gb, bp)
+    grid = (gb // bp,)
     if windowed:
         wk = window_width(cfg)
         assert w >= wk, (w, wk)
         kernel = _make_kernel(cfg, wk, safe16, interpret,
-                              windowed=True, wt=w)
+                              windowed=True, wt=w, b_pairs=bp)
     else:
-        kernel = _make_kernel(cfg, w, safe16, interpret)
+        kernel = _make_kernel(cfg, w, safe16, interpret, b_pairs=bp)
     # Narrow wire formats: widen on device (host->device bandwidth is
     # the dominant non-compute cost through the serving path).
     meta = meta.astype(_I32)
@@ -618,7 +639,7 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B_PAIRS, 2), lambda g: (g, 0),
+            pl.BlockSpec((bp, 2), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             # Sequences stay in HBM; the kernel DMAs fixed-size windows
             # into VMEM scratch (slicing big VMEM refs is pathologically
@@ -626,7 +647,7 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((B_PAIRS, 4), lambda g: (g, 0),
+        out_specs=pl.BlockSpec((bp, 4), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gb, 4), _I32),
         interpret=interpret,
@@ -683,12 +704,14 @@ def align_bucket(
     if qfwd.dtype == np.uint8 or qfwd.dtype == jnp.uint8:
         qf *= 2
     assert w % LANE == 0 and qf % LANE == 0
-    assert tcodes.shape[0] % B_PAIRS == 0
+    windowed_pred = w > window_width(cfg)
+    bp = min(b_pairs_for_width(w, windowed_pred), int(tcodes.shape[0]))
+    assert tcodes.shape[0] % bp == 0
     # w + qf bounds the max pair length for the int16-safety bound.
     safe16 = (not force_strips) and int16_safe(cfg, max_len=w + qf)
     # Sliding-window state when the target is longer than the band
     # window: per-step cost becomes O(band), not O(target_len).
-    windowed = w > window_width(cfg)
+    windowed = windowed_pred
     return _align_bucket_jit(
         jnp.asarray(meta, _I32),
         jnp.asarray(tcodes),
@@ -714,7 +737,6 @@ def build_bucket_arrays(
     Pads the pair count to a multiple of B_PAIRS with dummy 1x1 pairs.
     """
     n = len(pairs)
-    gb = -(-n // B_PAIRS) * B_PAIRS
     sw = cfg.slice_width
 
     def ceil8(x):
@@ -731,6 +753,8 @@ def build_bucket_arrays(
     if dmax is not None:
         max_q = max(max_q, dmax)  # back-compat: allow oversizing
     assert w >= max_w
+    gb_unit = b_pairs_for_width(w, w > window_width(cfg))
+    gb = -(-n // gb_unit) * gb_unit
 
     # >= 3 blocks: the kernel stages the query feed in 384-lane windows
     qf = max(3 * LANE, -(-max_q // LANE) * LANE)

@@ -71,9 +71,10 @@ def load_variant(name, repls):
 
 def main():
     G = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    mean_len = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
     cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
                       slice_width=3, z_threshold=400, band_width=751)
-    enc = make_workload(G * 8, 10000, 1234)
+    enc = make_workload(G * 8, mean_len, 1234)
     # steps actually swept: measure with the real kernel first
     from agatha_tpu.ops.kernel import align_bucket, build_bucket_arrays
     meta, tcodes, qfwd = build_bucket_arrays(enc, cfg)

@@ -1,0 +1,68 @@
+"""Real-TPU compiled-path parity checks (run by /verify on the chip).
+
+1. 1-device-mesh sharded dispatch (align_bucket_sharded, COMPILED, not
+   interpret) must equal the plain align_bucket results — closing the
+   gap between the CPU-mesh interpret tests (n=8 virtual devices) and
+   the compiled kernel (VERDICT round 1, weak #6).
+2. Short- and long-read buckets cross-checked against the sweep oracle.
+
+Exits non-zero on any mismatch.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from agatha_tpu.config import AlignConfig
+from agatha_tpu.ops.kernel import align_bucket, build_bucket_arrays
+from agatha_tpu.ops.packing import encode_padded
+from agatha_tpu.ops.sweep import align_one_sweep
+from agatha_tpu.parallel.sharding import (
+    align_bucket_sharded,
+    make_pairs_mesh,
+)
+
+
+def main():
+    import jax
+
+    rng = np.random.default_rng(5)
+    bases = np.array(list("ACGT"))
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                      slice_width=3, z_threshold=400, band_width=751)
+    pairs = []
+    for i in range(16):
+        n = int(rng.integers(60, 400))
+        q = "".join(bases[rng.integers(0, 4, size=n)])
+        m = int(rng.integers(60, 400))
+        t = "".join(bases[rng.integers(0, 4, size=m)])
+        pairs.append((encode_padded(q), encode_padded(t), n, m))
+    meta, tcodes, qfwd = build_bucket_arrays(pairs, cfg)
+
+    plain = np.asarray(align_bucket(meta, tcodes, qfwd, cfg))
+
+    mesh = make_pairs_mesh(jax.devices()[:1])
+    sharded = np.asarray(
+        align_bucket_sharded(meta, tcodes, qfwd, cfg, mesh)
+    )
+    if not (plain == sharded).all():
+        bad = np.argwhere((plain != sharded).any(axis=1))[:5]
+        print(f"FAIL: sharded != plain at rows {bad.ravel().tolist()}")
+        return 1
+    print(f"sharded(1-dev mesh, compiled) == plain: "
+          f"{plain.shape[0]} rows OK")
+
+    for p, (qc, tc, ql, rl) in enumerate(pairs):
+        exp = align_one_sweep(qc, tc, ql, rl, cfg)
+        got = tuple(int(v) for v in plain[p, :3])
+        if got != tuple(exp):
+            print(f"FAIL: pair {p}: kernel {got} != oracle {tuple(exp)}")
+            return 1
+    print("oracle cross-check: 16/16 OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

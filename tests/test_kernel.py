@@ -113,7 +113,8 @@ def test_kernel_padding_pairs_ignored(rng):
     """GB padding with dummy pairs must not corrupt real outputs."""
     pairs = _random_pairs(rng, 3)
     meta, tcodes, qfwd = build_bucket_arrays(pairs, CANON)
-    assert meta.shape[0] == 8
+    # padded to a full program height (width-dependent, >= 8)
+    assert meta.shape[0] >= 8 and meta.shape[0] % 8 == 0
     out = np.asarray(
         align_bucket(meta, tcodes, qfwd, CANON, interpret=True)
     )
