@@ -38,6 +38,21 @@ def main():
     from agatha_tpu.engine import AlignEngine
     from agatha_tpu.utils.workload import banded_cells
 
+    # --profile [DIR]: capture a jax.profiler trace of one warm
+    # iteration (the TPU analogue of the reference's nvprof target,
+    # test_prog/Makefile:7) and report a per-bucket completion
+    # breakdown on stderr.  The trace dir is viewable with
+    # tensorboard / xprof.
+    profile_dir = None
+    argv = sys.argv[1:]
+    if "--profile" in argv:
+        i = argv.index("--profile")
+        argv.pop(i)
+        profile_dir = (
+            argv.pop(i) if i < len(argv) and not argv[i].isdigit()
+            else "/tmp/agatha_tpu_trace"
+        )
+
     cfg = AlignConfig(
         match=1, mismatch=4, gap_open=6, gap_extend=2,
         slice_width=3, z_threshold=400, band_width=751,
@@ -45,13 +60,25 @@ def main():
     # Default workload: 1024 ~10kb long-read extensions — the domain the
     # reference targets (long-read mapping) and large enough that
     # serving-path dispatch latency is amortized.
-    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    mean_len = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
+    n_pairs = int(argv[0]) if len(argv) > 0 else 1024
+    mean_len = int(argv[1]) if len(argv) > 1 else 10000
     encoded = make_workload(n_pairs, mean_len)
     engine = AlignEngine(cfg, EngineConfig())
 
     # Warm-up: compile every bucket shape.
     engine.align(encoded)
+
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            prof = engine.align(encoded, per_bucket_times=True)
+        print(
+            "# profile trace written to "
+            f"{profile_dir}; per-bucket completion ms: "
+            + " ".join(f"{m:.1f}" for m in prof.bucket_ms or []),
+            file=sys.stderr,
+        )
 
     # Best-of-3: the serving path to the chip has multi-ms jitter.
     dt = float("inf")
