@@ -48,8 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print alignment results and kernel times "
                         "(warm-run timing; without -p the reported "
                         "process time includes JIT compilation)")
-    p.add_argument("-n", type=int, default=1,
-                   help="(ignored on TPU) CPU threads")
+    p.add_argument("-n", type=int, default=0,
+                   help="host worker threads for the native traceback/"
+                        "encode pools [0 = all cores] (reference: "
+                        "OpenMP input threads)")
     p.add_argument("--interpret", action="store_true",
                    help="run the kernel in interpreter mode (debug)")
     p.add_argument("--stream", action="store_true",
@@ -87,7 +89,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     engine = AlignEngine(
         cfg,
-        EngineConfig(aligns_per_batch=args.a),
+        EngineConfig(aligns_per_batch=args.a, cpu_threads=args.n),
         interpret=args.interpret,
     )
 

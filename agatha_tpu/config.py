@@ -67,6 +67,10 @@ class EngineConfig:
     aligns_per_batch: int = 8192   # -a: upper bound on pairs per bucket
                                    # (the engine adaptively targets ~8
                                    # buckets per batch for pipelining)
+    cpu_threads: int = 0           # -n: host worker threads for the
+                                   # native traceback/encode pools
+                                   # (0 = hardware_concurrency), the
+                                   # reference's OpenMP -n analogue
 
 
 def c_div_trunc(a: int, b: int) -> int:

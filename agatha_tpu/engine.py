@@ -349,7 +349,8 @@ class AlignEngine:
             from agatha_tpu.ops.traceback import traceback_all
 
             cigars = traceback_all(
-                encoded, qends, tends, scores, self.cfg
+                encoded, qends, tends, scores, self.cfg,
+                n_threads=self.engine_cfg.cpu_threads,
             )
         return AlignmentResult(
             scores, qends, tends, diags,

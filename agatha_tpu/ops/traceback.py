@@ -274,6 +274,7 @@ def traceback_all(
     t_ends: np.ndarray,
     scores: np.ndarray,
     cfg: AlignConfig,
+    n_threads: int = 0,
 ) -> list[str]:
     """Batch CIGAR traceback for a whole aligned batch.
 
@@ -316,6 +317,7 @@ def traceback_all(
             np.asarray(t_ends)[todo],
             np.asarray(scores, np.int64)[todo],
             cfg,
+            n_threads=n_threads,
         )
         if nres is not None:
             for k, i in enumerate(todo):
