@@ -170,11 +170,17 @@ def _main_stream(args, engine) -> int:
     total = 0
     chunk_ms: list[float] = []
     out = sys.stdout
+    tprev = t_all
     for res in engine.align_stream(
         iter_fasta_pairs(args.query_fasta, args.target_fasta),
         traceback=args.cigar,
     ):
-        chunk_ms.append(res.kernel_ms)
+        # completion deltas, not the per-chunk dispatch->collect
+        # windows: with a max_in_flight pipeline those windows overlap
+        # and their sum would over-report wall time up to 3x.
+        tnow = time.perf_counter()
+        chunk_ms.append((tnow - tprev) * 1e3)
+        tprev = tnow
         if args.p:
             for i in range(len(res.scores)):
                 line = (

@@ -118,6 +118,7 @@ class AlignEngine:
                      for s in seqs],
                     np.asarray(ops, np.uint8),
                     stride,
+                    n_threads=self.engine_cfg.cpu_threads,
                 )
                 return rows, lens
 

@@ -77,9 +77,11 @@ def _load():
         p8 = ctypes.POINTER(ctypes.c_uint8)
         p64 = ctypes.POINTER(ctypes.c_int64)
         p32 = ctypes.POINTER(ctypes.c_int32)
-        lib.agatha_encode_batch.argtypes = [p8, p64, p8, i64, p8, i64, p32]
+        lib.agatha_encode_batch.argtypes = [p8, p64, p8, i64, p8, i64,
+                                            p32, ctypes.c_int32]
         lib.agatha_encode_batch.restype = ctypes.c_int
-        lib.agatha_pack_nibbles.argtypes = [p8, i64, i64, p8]
+        lib.agatha_pack_nibbles.argtypes = [p8, i64, i64, p8,
+                                            ctypes.c_int32]
         lib.agatha_pack_nibbles.restype = ctypes.c_int
         i32 = ctypes.c_int32
         lib.agatha_traceback.argtypes = [
@@ -116,6 +118,7 @@ def encode_batch(
     seqs: list[bytes],
     ops: np.ndarray | None,
     stride: int,
+    n_threads: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Encode a batch of ASCII sequences to (n, stride) padded codes.
 
@@ -145,6 +148,7 @@ def encode_batch(
             _p8(out),
             stride,
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(n_threads),
         )
         if rc == 0:
             return out, lens
@@ -316,14 +320,16 @@ def traceback_batch(
     return out
 
 
-def pack_nibbles_rows(codes: np.ndarray) -> np.ndarray:
+def pack_nibbles_rows(codes: np.ndarray,
+                      n_threads: int = 0) -> np.ndarray:
     """(n, stride) codes -> (n, stride/2) nibble-packed, native if able."""
     n, stride = codes.shape
     lib = _load()
     if lib is not None and stride % 2 == 0:
         codes = np.ascontiguousarray(codes, np.uint8)
         out = np.empty((n, stride // 2), np.uint8)
-        if lib.agatha_pack_nibbles(_p8(codes), n, stride, _p8(out)) == 0:
+        if lib.agatha_pack_nibbles(_p8(codes), n, stride, _p8(out),
+                                   ctypes.c_int32(n_threads)) == 0:
             return out
     from agatha_tpu.ops.kernel import pack_nibbles
 

@@ -41,8 +41,10 @@ inline uint8_t complement(uint8_t c) {
 const int64_t kMinPar = 4096;
 
 template <typename F>
-void parallel_ranges(int64_t n, F fn) {
-  int64_t nt = (int64_t)std::thread::hardware_concurrency();
+void parallel_ranges(int64_t n, int32_t n_threads, F fn) {
+  int64_t nt = n_threads > 0
+                   ? n_threads
+                   : (int64_t)std::thread::hardware_concurrency();
   if (nt > n / kMinPar + 1) nt = n / kMinPar + 1;
   if (nt <= 1) {
     fn((int64_t)0, n);
@@ -80,14 +82,15 @@ extern "C" {
 // Returns 0 on success, -1 if any sequence exceeds stride.
 int agatha_encode_batch(const uint8_t* blob, const int64_t* offsets,
                         const uint8_t* ops, int64_t n, uint8_t* out,
-                        int64_t stride, int32_t* lens) {
+                        int64_t stride, int32_t* lens,
+                        int32_t n_threads) {
   // pre-check so the parallel body cannot fail
   for (int64_t i = 0; i < n; ++i) {
     if (((offsets[i + 1] - offsets[i] + 7) & ~int64_t(7)) > stride) {
       return -1;
     }
   }
-  parallel_ranges(n, [&](int64_t lo, int64_t hi) {
+  parallel_ranges(n, n_threads, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       const uint8_t* __restrict__ seq = blob + offsets[i];
       const int64_t len = offsets[i + 1] - offsets[i];
@@ -117,10 +120,10 @@ int agatha_encode_batch(const uint8_t* blob, const int64_t* offsets,
 // Nibble-pack rows of 4-bit codes: out byte j = row[2j] | row[2j+1]<<4.
 // in: (n, stride) codes; out: (n, stride/2) packed. stride must be even.
 int agatha_pack_nibbles(const uint8_t* in, int64_t n, int64_t stride,
-                        uint8_t* out) {
+                        uint8_t* out, int32_t n_threads) {
   if (stride % 2) return -1;
   const int64_t half = stride / 2;
-  parallel_ranges(n, [&](int64_t lo, int64_t hi) {
+  parallel_ranges(n, n_threads, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       const uint8_t* __restrict__ row = in + i * stride;
       uint8_t* __restrict__ orow = out + i * half;

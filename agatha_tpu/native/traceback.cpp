@@ -581,6 +581,9 @@ int traceback_adaptive_one(const uint8_t* qcodes, const uint8_t* tcodes,
     const int32_t score = solve_window(qcodes, tcodes, q_end, t_end,
                                        match, mism, goe, ge, bw, hw, ws);
     const bool last = hw >= hw_max;
+    // At the widest window the result is accepted even when score !=
+    // expected (int16-wrap regimes have no exactly-matching window);
+    // a walk escape there is final.
     if ((int64_t)score == expected || expected == INT64_MIN || last) {
       const int wrc =
           walk_window(ws, q_end, t_end, 2LL * hw + 2, ws.ops);
@@ -589,15 +592,6 @@ int traceback_adaptive_one(const uint8_t* qcodes, const uint8_t* tcodes,
         return emit_cigar(ws.ops, cigar_out, cigar_cap);
       }
       if (last) return -2;
-    }
-    if (last) {
-      // widest window solved but score != expected (int16-wrap
-      // regimes): accept the widest window's own optimum.
-      const int wrc =
-          walk_window(ws, q_end, t_end, 2LL * hw + 2, ws.ops);
-      if (wrc != 0) return -2;
-      *score_out = score;
-      return emit_cigar(ws.ops, cigar_out, cigar_cap);
     }
     hw *= 2;
   }

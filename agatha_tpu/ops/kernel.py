@@ -54,6 +54,21 @@ B_PAIRS = 8
 LANE = 128
 
 
+def _bp_for(w: int, windowed: bool, gb: int) -> int:
+    """Largest program height that divides gb (gb must be 8-aligned).
+
+    Callers may pass any GB that is a multiple of 8 (the documented
+    align_bucket contract) or a sharded slice of a bucket; the width-
+    preferred height from b_pairs_for_width is lowered in steps of 8
+    until it divides, so the contract never tightens.
+    """
+    assert gb % 8 == 0, gb
+    bp = min(b_pairs_for_width(w, windowed), gb)
+    while gb % bp:
+        bp -= 8
+    return bp
+
+
 def b_pairs_for_width(w: int, windowed: bool = False) -> int:
     """Pairs per program for a bucket of lane width w.
 
@@ -611,9 +626,7 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
                        interpret, windowed=False):
     """Traceable bucket alignment (call under jit)."""
     gb = tcodes.shape[0]
-    # cap the program height at the (possibly sharded) row count
-    bp = min(b_pairs_for_width(w, windowed), gb)
-    assert gb % bp == 0, (gb, bp)
+    bp = _bp_for(w, windowed, gb)
     grid = (gb // bp,)
     if windowed:
         wk = window_width(cfg)
@@ -678,7 +691,7 @@ def align_bucket(
     """Align one shape-uniform bucket of pairs.
 
     Args:
-      meta:   (GB, 2) int32 — [qlen, rlen] per pair, GB % B_PAIRS == 0.
+      meta:   (GB, 2) int32 — [qlen, rlen] per pair, GB % 8 == 0.
               Padding pairs should use qlen = rlen = 1.
       tcodes: (GB, W) int32 — 4-bit target codes per row, W % 128 == 0,
               W >= padded target length of every pair.
@@ -704,14 +717,12 @@ def align_bucket(
     if qfwd.dtype == np.uint8 or qfwd.dtype == jnp.uint8:
         qf *= 2
     assert w % LANE == 0 and qf % LANE == 0
-    windowed_pred = w > window_width(cfg)
-    bp = min(b_pairs_for_width(w, windowed_pred), int(tcodes.shape[0]))
-    assert tcodes.shape[0] % bp == 0
+    assert tcodes.shape[0] % 8 == 0
     # w + qf bounds the max pair length for the int16-safety bound.
     safe16 = (not force_strips) and int16_safe(cfg, max_len=w + qf)
     # Sliding-window state when the target is longer than the band
     # window: per-step cost becomes O(band), not O(target_len).
-    windowed = windowed_pred
+    windowed = w > window_width(cfg)
     return _align_bucket_jit(
         jnp.asarray(meta, _I32),
         jnp.asarray(tcodes),

@@ -310,25 +310,34 @@ def traceback_all(
                 continue
         todo.append(i)
     if todo:
-        sub = [encoded[i] for i in todo]
-        nres = native.traceback_batch(
-            sub,
-            np.asarray(q_ends)[todo],
-            np.asarray(t_ends)[todo],
-            np.asarray(scores, np.int64)[todo],
-            cfg,
-            n_threads=n_threads,
-        )
-        if nres is not None:
-            for k, i in enumerate(todo):
-                cigars[i] = nres[k]
-        else:
-            for i in todo:
-                qc, tc, _ql, _rl = encoded[i]
-                cigars[i] = traceback_one(
-                    qc, tc, int(q_ends[i]), int(t_ends[i]), cfg,
-                    expected_score=int(scores[i]),
-                )[0]
+        # Slab the native calls: the batch API allocates an
+        # (n, per_cap) CIGAR buffer sized by the slab's longest pair,
+        # so bounded slabs keep peak memory O(slab * max_len) instead
+        # of O(batch * max_len) (~8 GB for 100k long reads otherwise).
+        SLAB = 4096
+        use_native = native.available()
+        for s0 in range(0, len(todo), SLAB if use_native else len(todo)):
+            slab = todo[s0:s0 + SLAB] if use_native else todo
+            sub = [encoded[i] for i in slab]
+            nres = native.traceback_batch(
+                sub,
+                np.asarray(q_ends)[slab],
+                np.asarray(t_ends)[slab],
+                np.asarray(scores, np.int64)[slab],
+                cfg,
+                n_threads=n_threads,
+            ) if use_native else None
+            if nres is not None:
+                for k, i in enumerate(slab):
+                    cigars[i] = nres[k]
+            else:
+                for i in slab:
+                    qc, tc, _ql, _rl = encoded[i]
+                    cigars[i] = traceback_one(
+                        qc, tc, int(q_ends[i]), int(t_ends[i]), cfg,
+                        expected_score=int(scores[i]),
+                    )[0]
+                break
     return cigars  # type: ignore[return-value]
 
 

@@ -121,3 +121,26 @@ def test_kernel_padding_pairs_ignored(rng):
     for p, (qc, tc, ql, rl) in enumerate(pairs):
         exp = align_one_sweep(qc, tc, ql, rl, CANON)
         assert tuple(int(v) for v in out[p, :3]) == tuple(exp)
+
+
+def test_align_bucket_gb_contract(rng):
+    """Any GB that is a multiple of 8 is accepted, including counts
+    that don't divide the width-preferred program height (regression:
+    b_pairs_for_width briefly tightened the documented contract)."""
+    pairs = _random_pairs(rng, 5)  # pads to a full program
+    meta, tcodes, qfwd = build_bucket_arrays(pairs, CANON)
+    # rebuild with a hand-chosen GB=40 (not a multiple of 32/64)
+    import numpy as np
+
+    gb = 40
+    m = np.ones((gb, 2), np.int32)
+    tc = np.zeros((gb, tcodes.shape[1]), tcodes.dtype)
+    qf = np.zeros((gb, qfwd.shape[1]), qfwd.dtype)
+    m[: meta.shape[0] if meta.shape[0] < gb else gb] = meta[:gb]
+    tc[: tcodes.shape[0] if tcodes.shape[0] < gb else gb] = tcodes[:gb]
+    qf[: qfwd.shape[0] if qfwd.shape[0] < gb else gb] = qfwd[:gb]
+    out = np.asarray(align_bucket(m, tc, qf, CANON, interpret=True))
+    assert out.shape == (gb, 4)
+    for p, (qc, tcc, ql, rl) in enumerate(pairs):
+        exp = align_one_sweep(qc, tcc, ql, rl, CANON)
+        assert tuple(int(v) for v in out[p, :3]) == tuple(exp)
