@@ -59,9 +59,18 @@ def main():
     )
     # Default workload: 1024 ~10kb long-read extensions — the domain the
     # reference targets (long-read mapping) and large enough that
-    # serving-path dispatch latency is amortized.
+    # serving-path dispatch latency is amortized.  Optional args cover
+    # the other BASELINE configs: `bench.py 1024 15000` (HiFi),
+    # `bench.py 128 75000 2001 400` (ONT wide band).
     n_pairs = int(argv[0]) if len(argv) > 0 else 1024
     mean_len = int(argv[1]) if len(argv) > 1 else 10000
+    band = int(argv[2]) if len(argv) > 2 else 751
+    zthr = int(argv[3]) if len(argv) > 3 else 400
+    if band != 751 or zthr != 400:
+        cfg = AlignConfig(
+            match=1, mismatch=4, gap_open=6, gap_extend=2,
+            slice_width=3, z_threshold=zthr, band_width=band,
+        )
     encoded = make_workload(n_pairs, mean_len)
     engine = AlignEngine(cfg, EngineConfig())
 
