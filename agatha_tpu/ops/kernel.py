@@ -171,7 +171,7 @@ def window_width(cfg: AlignConfig) -> int:
 
 def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                  windowed: bool = False, wt: int | None = None,
-                 b_pairs: int = B_PAIRS):
+                 b_pairs: int = B_PAIRS, noband: bool = False):
     # W: lane width of the state window; wt: full tcodes width (== W
     # unless windowed).
     wt = W if wt is None else wt
@@ -420,8 +420,9 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             # X: in slice+chunk; Y: also chunk-interior (band-exempt)
             x_a = insl_a & (pq_a >= cs) & (pq_a <= ce)
             x_b = insl_b & (pq_b >= cs) & (pq_b <= ce)
-            y_a = x_a & (pq_a > cs) & (pq_a < ce)
-            y_b = x_b & (pq_b > cs) & (pq_b < ce)
+            if not noband:
+                y_a = x_a & (pq_a > cs) & (pq_a < ce)
+                y_b = x_b & (pq_b > cs) & (pq_b < ce)
             cse_a = pq_a == jnp.maximum(cs, i1 - pr)
             cse_b = pq_b == jnp.maximum(cs, i2 - pr)
             base_qq = d8 - r
@@ -446,9 +447,16 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 ncls = ro <= k
                 qq_ge0 = base_qq >= -k
                 valid = qq_ge0 & (base_qq < qlen - k)
-                in_band = jnp.abs(base_band + k) <= bw
-                z_a = y_a | (x_a & in_band)
-                z_b = y_b | (x_b & in_band)
+                if noband:
+                    # bw >= max(W, QF) proves |q - r| <= bw for every
+                    # cell, so the band test and the chunk-interior
+                    # exemption are vacuous: z == x (short-read fast
+                    # path; scores identical by construction)
+                    z_a, z_b = x_a, x_b
+                else:
+                    in_band = jnp.abs(base_band + k) <= bw
+                    z_a = y_a | (x_a & in_band)
+                    z_b = y_b | (x_b & in_band)
                 C = valid & ((cls & z_b) | (ncls & z_a))
                 # chunk-start lanes have ro == k, i.e. qo == 0, which is
                 # always class a (ro > k is false there)
@@ -628,13 +636,17 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
     gb = tcodes.shape[0]
     bp = _bp_for(w, windowed, gb)
     grid = (gb // bp,)
+    # every cell of every pair provably in-band: the band/interior
+    # vector masks compile away (short-read fast path)
+    noband = (not windowed) and cfg.band_width >= max(w, qf)
     if windowed:
         wk = window_width(cfg)
         assert w >= wk, (w, wk)
         kernel = _make_kernel(cfg, wk, safe16, interpret,
                               windowed=True, wt=w, b_pairs=bp)
     else:
-        kernel = _make_kernel(cfg, w, safe16, interpret, b_pairs=bp)
+        kernel = _make_kernel(cfg, w, safe16, interpret, b_pairs=bp,
+                              noband=noband)
     # Narrow wire formats: widen on device (host->device bandwidth is
     # the dominant non-compute cost through the serving path).
     meta = meta.astype(_I32)

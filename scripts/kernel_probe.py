@@ -39,6 +39,16 @@ VARIANTS = {
     "no_rolls": [
         ("    return pltpu.roll(x, shift=1, axis=1)", "    return x"),
     ],
+    "no_dma": [
+        ("            cp_t.wait()\n            cp_q.wait()",
+         "            pass"),
+        ("            ncp_t.start()\n            ncp_q.start()",
+         "            pass"),
+        ("            p_t.start()\n            p_q.start()",
+         "            pass"),
+        ("            w_t.wait()\n            w_q.wait()",
+         "            pass"),
+    ],
     "two_stage_reduce": [
         ("dmax = jnp.max(packed, axis=1, keepdims=True)",
          "m128 = packed[:, 0:128]\n"
