@@ -31,6 +31,14 @@ def __getattr__(name):
         from agatha_tpu.io.fasta import SeqPair
 
         return SeqPair
+    if name == "read_fasta_pairs":
+        from agatha_tpu.io.fasta import read_fasta_pairs
+
+        return read_fasta_pairs
+    if name == "iter_fasta_pairs":
+        from agatha_tpu.io.fasta import iter_fasta_pairs
+
+        return iter_fasta_pairs
     raise AttributeError(name)
 
 
@@ -40,4 +48,6 @@ __all__ = [
     "AlignEngine",
     "AlignmentResult",
     "SeqPair",
+    "read_fasta_pairs",
+    "iter_fasta_pairs",
 ]

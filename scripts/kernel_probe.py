@@ -39,6 +39,31 @@ VARIANTS = {
     "no_rolls": [
         ("    return pltpu.roll(x, shift=1, axis=1)", "    return x"),
     ],
+    "lite_scalar_chain": [
+        # keep packed/dmax reduction; replace the 15-op sequential
+        # (B,1) chain with 2 ops (tests the latency-bound hypothesis)
+        ("""                live = (term == 0) & (d < end_p)
+                gate = live & (
+                    ((d < i_end8) & (d < n_diags)) | (d >= i_end8)
+                )
+                th = dmax >> 16
+                tr = dmax & 0xFFFF
+                dq = d - tr
+                upd = gate & (th > ms)
+                if z >= 0:
+                    zel = gate & ~(th > ms) & (tr >= mr) & (dq >= mq)
+                    gap = jnp.abs((tr - mr) - (dq - mq))
+                    term = jnp.where(
+                        zel & (ms - th > z + gap * ge), 1, term
+                    )
+                ms = jnp.where(upd, th, ms)
+                mr = jnp.where(upd, tr, mr)
+                mq = jnp.where(upd, dq, mq)
+                diags = diags + live.astype(_I32)""",
+         """                live = (term == 0) & (d < end_p)
+                ms = jnp.maximum(ms, dmax)
+                diags = diags + live.astype(_I32)"""),
+    ],
     "no_dma": [
         ("            cp_t.wait()\n            cp_q.wait()",
          "            pass"),
