@@ -120,17 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         result = engine.align(encoded)
 
     if args.p:
-        out = sys.stdout
-        write = out.write
-        for i in range(len(pairs)):
-            line = (
-                f"{result.scores[i]}"
-                f"\tquery_batch_end={result.query_ends[i]}"
-                f"\ttarget_batch_end={result.target_ends[i]}"
-            )
-            if args.cigar:
-                line += f"\tcigar={result.cigars[i]}"
-            write(line + "\n")
+        _emit_result_lines(result, args.cigar, sys.stdout)
         if args.raw_file:
             # One line per bucket (the reference writes one per batch,
             # gasal_align.cu:219-236); avg_time.py sums lines per
@@ -152,6 +142,20 @@ def main(argv: list[str] | None = None) -> int:
         file=sys.stderr,
     )
     return 0
+
+
+def _emit_result_lines(res, cigar: bool, out) -> None:
+    """Reference stdout format (test_prog.cpp:363-366), one per pair."""
+    write = out.write
+    for i in range(len(res.scores)):
+        line = (
+            f"{res.scores[i]}"
+            f"\tquery_batch_end={res.query_ends[i]}"
+            f"\ttarget_batch_end={res.target_ends[i]}"
+        )
+        if cigar:
+            line += f"\tcigar={res.cigars[i]}"
+        write(line + "\n")
 
 
 def _main_stream(args, engine) -> int:
@@ -182,15 +186,7 @@ def _main_stream(args, engine) -> int:
         chunk_ms.append((tnow - tprev) * 1e3)
         tprev = tnow
         if args.p:
-            for i in range(len(res.scores)):
-                line = (
-                    f"{res.scores[i]}"
-                    f"\tquery_batch_end={res.query_ends[i]}"
-                    f"\ttarget_batch_end={res.target_ends[i]}"
-                )
-                if args.cigar:
-                    line += f"\tcigar={res.cigars[i]}"
-                out.write(line + "\n")
+            _emit_result_lines(res, args.cigar, out)
         total += len(res.scores)
     process_ms = sum(chunk_ms)
     if args.p and args.raw_file:

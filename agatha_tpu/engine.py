@@ -370,7 +370,8 @@ class AlignEngine:
         traceback: bool = False,
         max_in_flight: int = 3,
     ):
-        """Stream alignment over an iterator of SeqPairs.
+        """Stream alignment over an iterator of SeqPairs (or
+        pre-encoded ``(q_codes, t_codes, qlen, rlen)`` tuples).
 
         The analogue of the reference driver's bounded-batch pipeline
         (test_prog.cpp:245-376: fill batch N+1 while N computes on the
@@ -401,8 +402,7 @@ class AlignEngine:
             if not chunk:
                 break
             encoded = (
-                chunk
-                if chunk and isinstance(chunk[0], tuple)
+                chunk if isinstance(chunk[0], tuple)
                 else self.encode_pairs(chunk)
             )
             self._validate(encoded)

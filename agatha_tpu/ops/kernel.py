@@ -158,9 +158,14 @@ def window_width(cfg: AlignConfig) -> int:
         (d8 + 8*INNER_ITERS + 7 + bw)/2 + SLOP;
       * so W >= bw + 4*INNER_ITERS + 4 + SLOP + GUARD + SHIFT_Q
         = bw + 220 for the current constants;
-      * post-shift qwin healing (one lane per step) needs
-        2W - 384 - 2bw >= SHIFT_Q (holds: 2*220 - 384 = 56 >= ...
-        checked for bw >= 128 window rounding).
+      * post-shift qwin healing: the shl leaves SHIFT_Q stale lanes
+        at the top of qwin that shift up one lane per substep; no
+        computed cell may read one before it falls off.  Worst case
+        (vbase_post >= (d8-bw)/2 - GUARD - 32, elapsed e = 0):
+        stale-start row vbase_post + W - SHIFT_Q must exceed the
+        computed top (d8+7+bw)/2 + SLOP, i.e.
+        W > bw + SLOP + GUARD + SHIFT_Q + 36 — bw + 220 meets it
+        exactly and the 128-rounding adds slack.
     Rounded up to the lane tile: 1024 lanes for the canonical bw=751
     (was 1152 with the round-1 margins — an 11% cut in per-substep
     vector work at identical cell output).

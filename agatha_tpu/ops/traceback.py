@@ -309,35 +309,33 @@ def traceback_all(
                 cigars[i] = ""
                 continue
         todo.append(i)
-    if todo:
-        # Slab the native calls: the batch API allocates an
-        # (n, per_cap) CIGAR buffer sized by the slab's longest pair,
-        # so bounded slabs keep peak memory O(slab * max_len) instead
-        # of O(batch * max_len) (~8 GB for 100k long reads otherwise).
-        SLAB = 4096
-        use_native = native.available()
-        for s0 in range(0, len(todo), SLAB if use_native else len(todo)):
-            slab = todo[s0:s0 + SLAB] if use_native else todo
-            sub = [encoded[i] for i in slab]
-            nres = native.traceback_batch(
-                sub,
-                np.asarray(q_ends)[slab],
-                np.asarray(t_ends)[slab],
-                np.asarray(scores, np.int64)[slab],
-                cfg,
-                n_threads=n_threads,
-            ) if use_native else None
-            if nres is not None:
-                for k, i in enumerate(slab):
-                    cigars[i] = nres[k]
-            else:
-                for i in slab:
-                    qc, tc, _ql, _rl = encoded[i]
-                    cigars[i] = traceback_one(
-                        qc, tc, int(q_ends[i]), int(t_ends[i]), cfg,
-                        expected_score=int(scores[i]),
-                    )[0]
-                break
+    if not todo:
+        return cigars  # type: ignore[return-value]
+    if not native.available():
+        for i in todo:
+            qc, tc, _ql, _rl = encoded[i]
+            cigars[i] = traceback_one(
+                qc, tc, int(q_ends[i]), int(t_ends[i]), cfg,
+                expected_score=int(scores[i]),
+            )[0]
+        return cigars  # type: ignore[return-value]
+    # Slab the native calls: the batch API allocates an (n, per_cap)
+    # CIGAR buffer sized by the slab's longest pair, so bounded slabs
+    # keep peak memory O(slab * max_len) instead of O(batch * max_len)
+    # (~8 GB for 100k long reads otherwise).
+    SLAB = 4096
+    qe = np.asarray(q_ends)
+    te = np.asarray(t_ends)
+    sc = np.asarray(scores, np.int64)
+    for s0 in range(0, len(todo), SLAB):
+        slab = todo[s0:s0 + SLAB]
+        nres = native.traceback_batch(
+            [encoded[i] for i in slab],
+            qe[slab], te[slab], sc[slab], cfg,
+            n_threads=n_threads,
+        )
+        for k, i in enumerate(slab):
+            cigars[i] = nres[k]
     return cigars  # type: ignore[return-value]
 
 
