@@ -150,3 +150,21 @@ def test_cli_end_to_end(tmp_path, rng):
         )
     # raw file has one kernel-ms line
     assert len(raw.read_text().strip().split("\n")) == 1
+
+
+def test_per_bucket_times(rng):
+    """per_bucket_times yields one completion delta per bucket."""
+    enc = []
+    for i in range(24):
+        q = random_seq(rng, 30 + 10 * (i % 5))
+        enc.append((encode_padded(q), encode_padded(mutate(rng, q)),
+                    len(q), None))
+        enc[-1] = (enc[-1][0], enc[-1][1], enc[-1][2], len(enc[-1][1]))
+    engine = AlignEngine(CFG, EngineConfig(aligns_per_batch=8),
+                         interpret=True)
+    res = engine.align(enc, per_bucket_times=True)
+    assert res.bucket_ms is not None
+    assert len(res.bucket_ms) == res.n_buckets
+    assert all(ms >= 0 for ms in res.bucket_ms)
+    base = engine.align(enc)
+    assert (res.scores == base.scores).all()

@@ -103,3 +103,32 @@ def test_cli_stream_stdout_identical(tmp_path):
     assert batch.returncode == 0, batch.stderr[-2000:]
     assert stream.returncode == 0, stream.stderr[-2000:]
     assert stream.stdout == batch.stdout
+
+
+def test_cli_stream_cigar(tmp_path, rng):
+    """--stream --cigar: CIGAR column present, raw file one line/chunk."""
+    qs, ts = [], []
+    for i in range(12):
+        q = random_seq(rng, 40 + 5 * i)
+        qs.append(q)
+        ts.append(mutate(rng, q))
+    qf = tmp_path / "q.fasta"
+    tf = tmp_path / "t.fasta"
+    raw = tmp_path / "raw.log"
+    write_fasta(str(qf), qs)
+    write_fasta(str(tf), ts)
+    env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+           "HOME": "/root"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "agatha_tpu.cli", "--stream", "--cigar",
+         "--interpret", "-m", "1", "-x", "4", "-q", "6", "-r", "2",
+         "-a", "5", str(qf), str(tf), str(raw)],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = proc.stdout.splitlines()
+    assert len(lines) == 12
+    assert all("\tcigar=" in ln for ln in lines)
+    # -a has a floor of B_PAIRS=8: 12 pairs -> chunks of 8+4 -> 2
+    # raw lines (one per chunk)
+    assert len(open(raw).read().split()) == 2
