@@ -290,25 +290,27 @@ def traceback_all(
     if n == 0:
         return []
     cigars: list[str | None] = [None] * n
-    todo: list[int] = []
-    for i in range(n):
+    # Vectorized pre-scan: only all-zero results can be the kernel's
+    # never-updated initial state (no python work for the other pairs).
+    zeroish = np.flatnonzero(
+        (np.asarray(scores) == 0)
+        & (np.asarray(q_ends) == 0)
+        & (np.asarray(t_ends) == 0)
+    )
+    skip = set()
+    for i in zeroish:
         qc, tc, _ql, _rl = encoded[i]
-        if (
-            int(scores[i]) == 0
-            and int(q_ends[i]) == 0
-            and int(t_ends[i]) == 0
-        ):
-            qb, tb = int(qc[0]), int(tc[0])
-            if qb == N_VALUE or tb == N_VALUE:
-                h00 = -N_PENALTY
-            elif qb == tb:
-                h00 = cfg.match
-            else:
-                h00 = -cfg.mismatch
-            if h00 != 0:
-                cigars[i] = ""
-                continue
-        todo.append(i)
+        qb, tb = int(qc[0]), int(tc[0])
+        if qb == N_VALUE or tb == N_VALUE:
+            h00 = -N_PENALTY
+        elif qb == tb:
+            h00 = cfg.match
+        else:
+            h00 = -cfg.mismatch
+        if h00 != 0:
+            cigars[i] = ""
+            skip.add(int(i))
+    todo = [i for i in range(n) if i not in skip]
     if not todo:
         return cigars  # type: ignore[return-value]
     if not native.available():
