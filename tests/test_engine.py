@@ -168,3 +168,30 @@ def test_per_bucket_times(rng):
     assert all(ms >= 0 for ms in res.bucket_ms)
     base = engine.align(enc)
     assert (res.scores == base.scores).all()
+
+
+def test_mixed_windowed_and_full_buckets(rng):
+    """One align() call spanning both kernel variants: a long pair that
+    takes the sliding-window path bucketed alongside short pairs on
+    the full-width path."""
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                      z_threshold=400, band_width=300)
+    # window_width(300) = 640; rlen > 640 forces the windowed kernel
+    enc = []
+    q = random_seq(rng, 700)
+    enc.append((encode_padded(q), encode_padded(mutate(rng, q)),
+                700, None))
+    enc[0] = (enc[0][0], enc[0][1], 700, len(enc[0][1]))
+    for i in range(15):
+        s = random_seq(rng, 30 + 8 * i)
+        t = mutate(rng, s)
+        enc.append((encode_padded(s), encode_padded(t), len(s), len(t)))
+    engine = AlignEngine(cfg, EngineConfig(aligns_per_batch=8),
+                         interpret=True)
+    res = engine.align(enc)
+    assert res.n_buckets >= 2
+    for i, (qc, tc, ql, rl) in enumerate(enc):
+        exp = align_one_sweep(qc, tc, ql, rl, cfg)
+        got = (int(res.scores[i]), int(res.query_ends[i]),
+               int(res.target_ends[i]))
+        assert got == tuple(exp), f"pair {i}"
