@@ -360,8 +360,12 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
 
             tb = tbw[:, :]
 
-            # per-window invariants (constant across the inner loop)
+            # per-window invariants (constant across the inner loop);
+            # sm/sx fold the target-side N case into the match/mismatch
+            # selections so the substep needs one select fewer
             t_is_n = tb == N_VALUE
+            sub_m = jnp.where(t_is_n, -N_PENALTY, match)
+            sub_x = jnp.where(t_is_n, -N_PENALTY, -mism)
             pr = r >> 3
             ro = r & 7
             two_r = r << 1
@@ -374,9 +378,9 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             inner = functools.partial(
                 _inner, r=r, pr=pr, ro=ro, two_r=two_r,
                 blk_first=blk_first, cs=cs, ce=ce, fake=fake,
-                prev_fake=prev_fake, tb=tb, t_is_n=t_is_n, vbase=vbase,
-                blk0=blk0, hfa=hfa, hfb=hfb, fst_r=fst_r, est_r=est_r,
-                qwin_r=qwin_r, qfw=qfw,
+                prev_fake=prev_fake, tb=tb, sub_m=sub_m, sub_x=sub_x,
+                vbase=vbase, blk0=blk0, hfa=hfa, hfb=hfb, fst_r=fst_r,
+                est_r=est_r, qwin_r=qwin_r, qfw=qfw,
             )
             d8, i1, kph, ms, mr, mq, term, diags = jax.lax.fori_loop(
                 0, INNER_ITERS,
@@ -391,8 +395,8 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             return carry
 
         def _inner(carry, *, r, pr, ro, two_r, blk_first, cs, ce, fake,
-                   prev_fake, tb, t_is_n, vbase, blk0, hfa, hfb, fst_r,
-                   est_r, qwin_r, qfw):
+                   prev_fake, tb, sub_m, sub_x, vbase, blk0, hfa, hfb,
+                   fst_r, est_r, qwin_r, qfw):
             # i1 = sw*floor(D/sw) and kph = D - i1 are carried
             # incrementally: scalar div/rem by a non-power-of-two lowers
             # to an iterative loop whose cost grows with the operand
@@ -507,8 +511,12 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 f_in = jnp.where(cst, strip16(fst), fst)
                 f_in = jnp.where(cst & fake, minus_inf2, f_in)
 
-                s = jnp.where(qwin == tb, match, -mism)
-                s = jnp.where((qwin == N_VALUE) | t_is_n, -N_PENALTY, s)
+                # sub_m/sub_x carry the target-side N fold (a target
+                # N never equals a non-N query code, so the equal
+                # branch with t_is_n is unreachable anyway — both
+                # branches then yield -N_PENALTY, keeping exactness)
+                s = jnp.where(qwin == tb, sub_m, sub_x)
+                s = jnp.where(qwin == N_VALUE, -N_PENALTY, s)
 
                 temp = htl + s
                 h_new = jnp.maximum(jnp.maximum(temp, f_in), e_in)
