@@ -157,9 +157,8 @@ def test_per_bucket_times(rng):
     enc = []
     for i in range(24):
         q = random_seq(rng, 30 + 10 * (i % 5))
-        enc.append((encode_padded(q), encode_padded(mutate(rng, q)),
-                    len(q), None))
-        enc[-1] = (enc[-1][0], enc[-1][1], enc[-1][2], len(enc[-1][1]))
+        t = mutate(rng, q)
+        enc.append((encode_padded(q), encode_padded(t), len(q), len(t)))
     engine = AlignEngine(CFG, EngineConfig(aligns_per_batch=8),
                          interpret=True)
     res = engine.align(enc, per_bucket_times=True)
@@ -179,9 +178,8 @@ def test_mixed_windowed_and_full_buckets(rng):
     # window_width(300) = 640; rlen > 640 forces the windowed kernel
     enc = []
     q = random_seq(rng, 700)
-    enc.append((encode_padded(q), encode_padded(mutate(rng, q)),
-                700, None))
-    enc[0] = (enc[0][0], enc[0][1], 700, len(enc[0][1]))
+    t = mutate(rng, q)
+    enc.append((encode_padded(q), encode_padded(t), 700, len(t)))
     for i in range(15):
         s = random_seq(rng, 30 + 8 * i)
         t = mutate(rng, s)
