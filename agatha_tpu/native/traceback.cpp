@@ -559,7 +559,9 @@ int emit_cigar(const std::vector<char>& ops, char* out, int64_t cap) {
 
 // Adaptive driver for one pair.  expected == INT64_MIN means "score
 // unknown": solve once at the maximum window.  Returns 0 ok, -1 cigar
-// buffer too small, -2 walk escaped even the widest window.
+// buffer too small, -2 walk escaped even the widest window, 1 accepted
+// at the widest window with score != expected (legitimate only in the
+// documented int16-wrap regimes — callers should surface it).
 int traceback_adaptive_one(const uint8_t* qcodes, const uint8_t* tcodes,
                            int32_t q_end, int32_t t_end, int32_t match,
                            int32_t mism, int32_t goe, int32_t ge,
@@ -589,7 +591,11 @@ int traceback_adaptive_one(const uint8_t* qcodes, const uint8_t* tcodes,
           walk_window(ws, q_end, t_end, 2LL * hw + 2, ws.ops);
       if (wrc == 0) {
         *score_out = score;
-        return emit_cigar(ws.ops, cigar_out, cigar_cap);
+        const int erc = emit_cigar(ws.ops, cigar_out, cigar_cap);
+        if (erc != 0) return erc;
+        const bool mismatch =
+            expected != INT64_MIN && (int64_t)score != expected;
+        return mismatch ? 1 : 0;
       }
       if (last) return -2;
     }

@@ -63,6 +63,9 @@ def _bp_for(w: int, windowed: bool, gb: int) -> int:
     until it divides, so the contract never tightens.
     """
     assert gb % 8 == 0, gb
+    if gb == 0:
+        # empty bucket: any positive height gives the empty grid (0,)
+        return b_pairs_for_width(w, windowed)
     bp = min(b_pairs_for_width(w, windowed), gb)
     while gb % bp:
         bp -= 8
@@ -164,19 +167,23 @@ def window_width(cfg: AlignConfig) -> int:
         (vbase_post >= (d8-bw)/2 - GUARD - 32, elapsed e = 0):
         stale-start row vbase_post + W - SHIFT_Q must exceed the
         computed top (d8+7+bw)/2 + SLOP, i.e.
-        W > bw + SLOP + GUARD + SHIFT_Q + 36 — bw + 220 meets it
-        exactly and the 128-rounding adds slack.
+        W > bw + SLOP + GUARD + SHIFT_Q + 36, i.e. STRICTLY more than
+        bw + 220 — hence the need+1 below: when bw + 220 is an exact
+        multiple of 128 (bw = 804, 932, ...) plain rounding would add
+        zero slack and a computed cell could read a stale post-shift
+        qwin lane.
     Rounded up to the lane tile: 1024 lanes for the canonical bw=751
     (was 1152 with the round-1 margins — an 11% cut in per-substep
     vector work at identical cell output).
     """
     need = cfg.band_width + 4 * INNER_ITERS + 4 + SLOP + GUARD + SHIFT_Q
-    return -(-need // LANE) * LANE
+    return -(-(need + 1) // LANE) * LANE
 
 
 def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                  windowed: bool = False, wt: int | None = None,
-                 b_pairs: int = B_PAIRS, noband: bool = False):
+                 b_pairs: int = B_PAIRS, noband: bool = False,
+                 emit_flags: bool = False):
     # W: lane width of the state window; wt: full tcodes width (== W
     # unless windowed).
     wt = W if wt is None else wt

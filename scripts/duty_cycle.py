@@ -10,10 +10,8 @@ time-slicing) on the serving chip — see PERF_NOTES.md.
 
 Usage: python scripts/duty_cycle.py [G] [reps]
 """
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import time
 

@@ -10,7 +10,6 @@ workload stands in.
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from agatha_tpu.io.fasta import write_fasta  # noqa: E402
 from bench import make_workload  # noqa: E402

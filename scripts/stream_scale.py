@@ -8,12 +8,10 @@ memory (test_prog.cpp load phase); this path bounds peak RSS by the
 
 Usage: python scripts/stream_scale.py [n_pairs] [read_len] [chunk]
 """
-import os
 import resource
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

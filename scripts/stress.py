@@ -9,10 +9,8 @@ Usage: python scripts/stress.py [n_rounds] [seed]
 Exits non-zero on any mismatch.
 """
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 

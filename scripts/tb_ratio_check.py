@@ -17,7 +17,6 @@ Usage: python scripts/tb_ratio_check.py [n_pairs] [read_len]
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import time
 

@@ -8,10 +8,8 @@
 
 Exits non-zero on any mismatch.
 """
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

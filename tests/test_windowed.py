@@ -32,6 +32,10 @@ def _check(pairs, cfg):
                 band_width=60, z_threshold=200),
     AlignConfig(band_width=40, z_threshold=100, slice_width=2),
     AlignConfig(band_width=25, z_threshold=-1, slice_width=1),
+    # band_width + 220 an exact multiple of 128: the window margin's
+    # strict inequality (W > bw + 220) gets zero slack from rounding
+    # here, so window_width must bump W one lane tile (qwin healing)
+    AlignConfig(band_width=36, z_threshold=150),
 ])
 def test_windowed_matches_oracle(rng, cfg):
     pairs = []
@@ -41,6 +45,13 @@ def test_windowed_matches_oracle(rng, cfg):
         t = mutate(rng, q) if i % 2 == 0 else random_seq(rng, n + 30, 0.01)
         pairs.append((encode_padded(q), encode_padded(t), len(q), len(t)))
     _check(pairs, cfg)
+
+
+def test_window_width_strict_margin():
+    """W must exceed bw + 220 strictly (post-shift qwin healing)."""
+    for bw in (36, 164, 751, 804, 932):
+        cfg = AlignConfig(band_width=bw)
+        assert window_width(cfg) > bw + 220, bw
 
 
 def test_windowed_asymmetric_lengths(rng):
