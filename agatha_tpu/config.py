@@ -71,6 +71,17 @@ class EngineConfig:
                                    # native traceback/encode pools
                                    # (0 = hardware_concurrency), the
                                    # reference's OpenMP -n analogue
+    traceback_mode: str = "device" # "device": emit-flags kernel + on-
+                                   # device walk (CIGAR cost scales with
+                                   # the chip); "host": the AVX-512
+                                   # adaptive re-DP engine (scales with
+                                   # host cores)
+    tb_flag_bytes: int = 2 << 30   # cap on one bucket's on-device flag
+                                   # bitmap; bigger buckets are split
+                                   # before the emit-flags dispatch
+    use_all_devices: bool = True   # shard each bucket over all local
+                                   # devices (score path); False pins
+                                   # dispatch to the default device
 
 
 def c_div_trunc(a: int, b: int) -> int:

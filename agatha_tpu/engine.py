@@ -96,6 +96,7 @@ class AlignEngine:
         self.cfg = cfg
         self.engine_cfg = engine_cfg or EngineConfig()
         self.interpret = interpret
+        self._mesh = None  # lazy: None = unprobed, False = single-dev
 
     # -- input preparation ------------------------------------------------
     def encode_pairs(
@@ -235,7 +236,7 @@ class AlignEngine:
                                    else None)
         self._validate(encoded)
         t0 = time.perf_counter()
-        buckets, pending = self._dispatch(encoded)
+        buckets, pending = self._dispatch(encoded, traceback=traceback)
         return self._collect(
             encoded, buckets, pending, t0,
             traceback=traceback, per_bucket_times=per_bucket_times,
@@ -276,25 +277,120 @@ class AlignEngine:
                 stacklevel=2,
             )
 
-    def _dispatch(self, encoded):
+    def _dispatch(self, encoded, traceback: bool = False):
         """Pack into buckets and launch every kernel asynchronously.
 
         Buckets dispatch as soon as each is packed, so host packing and
         uploads overlap device compute (the JAX analogue of the
         reference's fill-next-batch-while-previous-runs streams,
         test_prog.cpp:273-374).
+
+        With device traceback each bucket's emit-flags kernel is
+        immediately followed by its on-device walk, so CIGAR extraction
+        overlaps the next bucket's scoring on the chip and the flag
+        bitmap (donated to the walk) is freed bucket by bucket — peak
+        flag HBM stays ~one bucket regardless of batch size.
         """
+        device_tb = (
+            traceback and self.engine_cfg.traceback_mode == "device"
+        )
+        mesh = None if device_tb else self._local_mesh()
         buckets = []
         pending = []
         for b in self.iter_buckets(encoded):
-            buckets.append(b)
-            pending.append(
-                align_bucket(
-                    b.meta, b.tcodes, b.qfwd, self.cfg,
-                    interpret=self.interpret,
+            if device_tb:
+                from agatha_tpu.ops.walk import align_bucket_traceback
+
+                for sb in self._split_for_flags(b):
+                    buckets.append(sb)
+                    pending.append(
+                        align_bucket_traceback(
+                            sb.meta, sb.tcodes, sb.qfwd, self.cfg,
+                            interpret=self.interpret,
+                        )
+                    )
+            elif mesh is not None:
+                from agatha_tpu.parallel.sharding import (
+                    align_bucket_sharded,
+                    pad_rows,
                 )
-            )
+
+                unit = mesh.devices.size * B_PAIRS
+                gb = -(-b.meta.shape[0] // unit) * unit
+                buckets.append(b)
+                pending.append(
+                    align_bucket_sharded(
+                        pad_rows(b.meta, gb, 1),
+                        pad_rows(b.tcodes, gb),
+                        pad_rows(b.qfwd, gb),
+                        self.cfg, mesh, interpret=self.interpret,
+                    )
+                )
+            else:
+                buckets.append(b)
+                pending.append(
+                    align_bucket(
+                        b.meta, b.tcodes, b.qfwd, self.cfg,
+                        interpret=self.interpret,
+                    )
+                )
         return buckets, pending
+
+    def _local_mesh(self):
+        """1-D 'pairs' mesh when >1 local device is usable, else None.
+
+        Every bucket's rows are sharded across all local devices
+        (SURVEY.md §2.3 inter-device row): pairs are embarrassingly
+        parallel, and bucket-level sharding keeps all chips busy even
+        when a batch produces fewer buckets than there are devices.
+        The device-traceback path stays single-device for now (its
+        flag bitmap + walk are per-device local; sharding them is
+        future work) — mixing would reorder nothing, just run slower.
+        """
+        if not self.engine_cfg.use_all_devices:
+            return None
+        if self._mesh is None:
+            import jax
+
+            # local devices only: under jax.distributed the global list
+            # includes other hosts' devices, which a single process
+            # cannot device_put to (cross-host batches go through
+            # parallel.distributed instead)
+            devs = jax.local_devices()
+            if len(devs) <= 1:
+                self._mesh = False
+            else:
+                from agatha_tpu.parallel.sharding import make_pairs_mesh
+
+                self._mesh = make_pairs_mesh(devs)
+        return self._mesh or None
+
+    def _split_for_flags(self, b: _Bucket):
+        """Split a bucket so its flag bitmap fits tb_flag_bytes."""
+        from agatha_tpu.ops.kernel import (
+            flag_planes_needed,
+            window_width,
+        )
+
+        w = b.tcodes.shape[1] * (2 if b.tcodes.dtype == np.uint8 else 1)
+        planes = flag_planes_needed(b.meta, self.cfg)
+        w_state = min(w, window_width(self.cfg))
+        per_row = planes * w_state * 4
+        max_rows = max(8, (self.engine_cfg.tb_flag_bytes // per_row)
+                       // 8 * 8)
+        gb = b.meta.shape[0]
+        if gb <= max_rows:
+            yield b
+            return
+        n_idx = len(b.indices)
+        for lo in range(0, gb, max_rows):
+            hi = min(gb, lo + max_rows)
+            idx = b.indices[lo:min(hi, n_idx)]
+            if len(idx) == 0:
+                break  # all-padding tail
+            yield _Bucket(
+                idx, b.meta[lo:hi], b.tcodes[lo:hi], b.qfwd[lo:hi]
+            )
 
     def _collect(
         self, encoded, buckets, pending, t0, *,
@@ -308,6 +404,8 @@ class AlignEngine:
         import jax.numpy as jnp
 
         n = len(encoded)
+        device_tb = bool(pending) and isinstance(pending[0], tuple)
+        words_np: list[np.ndarray] | None = None
         bucket_ms: list[float] | None = None
         if per_bucket_times:
             # Sequential per-bucket fetches in dispatch order: bucket
@@ -319,13 +417,38 @@ class AlignEngine:
             # replaces the device-side concat.
             bucket_ms = []
             outs = []
+            words_np = [] if device_tb else None
             tprev = time.perf_counter()
             for p in pending:
-                outs.append(np.asarray(p))
+                if device_tb:
+                    outs.append(np.asarray(p[0]))
+                    words_np.append(np.asarray(p[1]))
+                else:
+                    outs.append(np.asarray(p))
                 tnow = time.perf_counter()
                 bucket_ms.append((tnow - tprev) * 1e3)
                 tprev = tnow
             all_out = np.concatenate(outs) if len(outs) > 1 else outs[0]
+        elif device_tb:
+            # One flat device concat + one fetch for scores AND move
+            # words (per-array fetches pay the tunnel round-trip floor
+            # each; the word blobs are tiny next to it).
+            outs_d = [p[0] for p in pending]
+            words_d = [p[1] for p in pending]
+            shapes = [w.shape for w in words_d]
+            flat = jnp.concatenate(
+                [o.reshape(-1) for o in outs_d]
+                + [w.reshape(-1) for w in words_d]
+            )
+            blob = np.asarray(flat)
+            o_rows = sum(o.shape[0] for o in outs_d)
+            all_out = blob[: o_rows * 4].reshape(o_rows, 4)
+            words_np = []
+            off = o_rows * 4
+            for shp in shapes:
+                sz = shp[0] * shp[1]
+                words_np.append(blob[off : off + sz].reshape(shp))
+                off += sz
         elif len(pending) > 1:
             all_out = np.asarray(jnp.concatenate(pending, axis=0))
         else:
@@ -334,10 +457,16 @@ class AlignEngine:
         qends = np.zeros(n, np.int32)
         tends = np.zeros(n, np.int32)
         diags = np.zeros(n, np.int32)
+        # output rows per bucket come from the dispatched arrays, not
+        # bucket meta: the sharded path pads rows to the device grid
+        row_counts = [
+            (p[0] if isinstance(p, tuple) else p).shape[0]
+            for p in pending
+        ]
         row = 0
-        for b in buckets:
-            out = all_out[row : row + b.meta.shape[0]]
-            row += b.meta.shape[0]
+        for b, rows in zip(buckets, row_counts):
+            out = all_out[row : row + rows]
+            row += rows
             idx = b.indices
             k = len(idx)
             scores[idx] = out[:k, 0]
@@ -346,7 +475,27 @@ class AlignEngine:
             diags[idx] = out[:k, 3]
         ms = (time.perf_counter() - t0) * 1e3
         cigars = None
-        if traceback:
+        if traceback and device_tb:
+            from agatha_tpu import native
+            from agatha_tpu.ops.traceback import never_updated_indices
+            from agatha_tpu.ops.walk import decode_moves, moves_to_cigar
+
+            cigars = [None] * n
+            for b, w in zip(buckets, words_np):
+                bc = native.moves_to_cigars_batch(
+                    w, n_threads=self.engine_cfg.cpu_threads
+                )
+                if bc is None:  # no toolchain: NumPy fallback
+                    moves = decode_moves(w)
+                    bc = [moves_to_cigar(moves[k])
+                          for k in range(moves.shape[0])]
+                for k, idx in enumerate(b.indices):
+                    cigars[idx] = bc[k]
+            for i in never_updated_indices(
+                encoded, scores, qends, tends, self.cfg
+            ):
+                cigars[i] = ""
+        elif traceback:
             from agatha_tpu.ops.traceback import traceback_all
 
             cigars = traceback_all(
@@ -407,7 +556,7 @@ class AlignEngine:
             )
             self._validate(encoded)
             t0 = time.perf_counter()
-            buckets, pending = self._dispatch(encoded)
+            buckets, pending = self._dispatch(encoded, traceback=traceback)
             window.append((encoded, buckets, pending, t0))
             if len(window) >= max_in_flight:
                 yield drain_one()

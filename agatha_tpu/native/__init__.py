@@ -100,6 +100,10 @@ def _load():
             ctypes.c_char_p, i64, p64, p32, i32,
         ]
         lib.agatha_traceback_batch.restype = ctypes.c_int
+        lib.agatha_moves_to_cigars.argtypes = [
+            p32, i64, i64, ctypes.c_char_p, i64, i32,
+        ]
+        lib.agatha_moves_to_cigars.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -344,6 +348,41 @@ def traceback_batch(
         end = int(np.argmin(row)) if row[-1] == 0 else per_cap
         out.append(row[:end].tobytes().decode("ascii"))
     return out
+
+
+def moves_to_cigars_batch(
+    words: np.ndarray, n_threads: int = 0
+) -> list[str] | None:
+    """Device-walk packed move words -> CIGAR strings (one per pair).
+
+    ``words`` is the (half, gb) int32 array from ops.walk._walk_jit;
+    see agatha_moves_to_cigars in traceback.cpp for the bit layout.
+    Returns None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, np.int32)
+    half, gb = words.shape
+    if gb == 0:
+        return []
+    # worst case: alternating ops, "1X" per move = 2 bytes + NUL
+    per_cap = int(2 * 16 * half + 16)
+    out = np.zeros((gb, per_cap), np.uint8)
+    rc = lib.agatha_moves_to_cigars(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(half), ctypes.c_int64(gb),
+        out.ctypes.data_as(ctypes.c_char_p), ctypes.c_int64(per_cap),
+        ctypes.c_int32(n_threads),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native moves_to_cigars rc={rc}")
+    res = []
+    for b in range(gb):
+        row = out[b]
+        end = int(np.argmin(row)) if row[-1] == 0 else per_cap
+        res.append(row[:end].tobytes().decode("ascii"))
+    return res
 
 
 def pack_nibbles_rows(codes: np.ndarray,

@@ -661,3 +661,76 @@ int agatha_traceback_batch(const uint8_t* qblob, const int64_t* qoff,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Device-walk move-word decoding (engine 3 companion, see ops/walk.py).
+//
+// `words` is the (half, gb) int32 array the on-device walk produces:
+// scan row i covers flag plane P-1-i (8 base antidiagonals, one 2-bit
+// move per bit-pair, substep k in bits 2k, k = 7 first in path order),
+// and two 16-bit scan rows are packed per int32 (low half = earlier
+// scan row).  Moves run path END -> START; emitting start -> end means
+// iterating packed rows backward, high half first, k ascending.
+// Move codes: 0 none, 1 M, 2 D, 3 I.
+extern "C" int agatha_moves_to_cigars(const int32_t* words, int64_t half,
+                                      int64_t gb, char* cigars_out,
+                                      int64_t per_cap,
+                                      int32_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = (int32_t)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > gb) n_threads = (int32_t)gb;
+  static const char kOp[4] = {'?', 'M', 'D', 'I'};
+  std::vector<int32_t> rcs(n_threads, 0);
+  auto worker = [&](int32_t tid) {
+    for (int64_t b = tid; b < gb; b += n_threads) {
+      char* out = cigars_out + b * per_cap;
+      int64_t pos = 0;
+      int run_op = 0;
+      int64_t run_len = 0;
+      bool overflow = false;
+      auto flush = [&]() {
+        if (run_op == 0 || run_len == 0) return;
+        char buf[24];
+        const int wrote = snprintf(buf, sizeof buf, "%lld%c",
+                                   (long long)run_len, kOp[run_op]);
+        if (pos + wrote + 1 > per_cap) { overflow = true; return; }
+        memcpy(out + pos, buf, wrote);
+        pos += wrote;
+      };
+      for (int64_t i = half - 1; i >= 0 && !overflow; --i) {
+        const uint32_t w = (uint32_t)words[i * gb + b];
+        for (int sub = 1; sub >= 0; --sub) {  // high 16 bits first
+          uint32_t row = (w >> (16 * sub)) & 0xFFFFu;
+          for (int k = 0; k < 8; ++k) {
+            const int mv = (int)((row >> (2 * k)) & 3u);
+            if (mv == 0) continue;
+            if (mv == run_op) {
+              ++run_len;
+            } else {
+              flush();
+              if (overflow) break;
+              run_op = mv;
+              run_len = 1;
+            }
+          }
+          if (overflow) break;
+        }
+      }
+      flush();
+      if (overflow) { rcs[tid] = -1; continue; }
+      out[pos] = '\0';
+    }
+  };
+  if (n_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int32_t t = 0; t < n_threads; ++t) pool.emplace_back(worker, t);
+    for (auto& th : pool) th.join();
+  }
+  for (int32_t t = 0; t < n_threads; ++t)
+    if (rcs[t] != 0) return rcs[t];
+  return 0;
+}

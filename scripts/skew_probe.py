@@ -1,0 +1,403 @@
+"""Skewed-frame kernel prototype: timing-faithful cost measurement.
+
+PERF_NOTES "Next levers" designs a re-framed kernel (lane = r - r_lo(d),
+r_lo(d) = max(0, (d - bw')>>1)) that trades the current 3 rolls/substep
+at 8 tiles for 2.5 rolls at 7 tiles (est. ~+15%).  The open cost
+question is the *mask re-hoisting*: in the current frame each lane's
+row is constant for a whole half, so all row-derived mask inputs (pr,
+chunk bounds, slice masks, fake rows, substitution tables) hoist to
+once per 8-64 substeps; in the skewed frame every second substep
+advances the frame and must recompute them.
+
+This probe builds two structurally faithful mini-kernels that share the
+exact DP core, packed-max reduction, bookkeeping chain, feed machinery
+and mask FORMULAS of the production kernel (ops/kernel.py _inner), and
+differ exactly the way the real variants would:
+
+  current: W=1024, per-packed-diagonal mask hoist block, 3 rolls/substep
+           (qwin, htl, est)
+  skewed:  W=896, per-advance mask recompute (every 2nd substep),
+           rolls = 2/substep (est+qwin) on even k, 3/substep
+           (hf1+fst+tb) on odd k, htl roll-free
+
+Both produce garbage scores (no boundary/window semantics) but every op
+class of the real kernels is present with the real shapes.  The
+current-frame mini is the calibration anchor: its ns/substep should
+land near the production kernel's (~215 ns at W=1152 / ~190 at W=1024).
+
+Usage: python scripts/skew_probe.py [G] [DIAGS]
+"""
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_I32 = jnp.int32
+B = 8
+LANE = 128
+SW = 3          # slice width (canonical)
+BW = 751        # band width (canonical)
+GOE, GE = 8, 2
+MATCH, MISM = 1, 4
+Z = 400
+N_VALUE = 14
+N_PENALTY = 1
+INT32_MIN = -(2 ** 31)
+MINUS_INF2 = -16384
+CBW = -(-BW // 8)        # ceil(bw/8)
+FBW = (BW + 7) >> 3
+
+
+def _ctrunc16(t):
+    return jnp.where(t >= 0, t >> 4, -((-t) >> 4))
+
+
+def _roll1(x):
+    return pltpu.roll(x, shift=1, axis=1)
+
+
+def _core(qwin, tb, htl, e_in, f_in, C, r, d, carry):
+    """The exact production DP core + bookkeeping (kernel.py _inner)."""
+    ms, mr, mq, term, diags = carry
+    t_is_n = tb == N_VALUE
+    sub_m = jnp.where(t_is_n, -N_PENALTY, MATCH)
+    sub_x = jnp.where(t_is_n, -N_PENALTY, -MISM)
+    s = jnp.where(qwin == tb, sub_m, sub_x)
+    s = jnp.where(qwin == N_VALUE, -N_PENALTY, s)
+    temp = htl + s
+    h_new = jnp.maximum(jnp.maximum(temp, f_in), e_in)
+    tg = temp - GOE
+    f_out = jnp.where(C, jnp.maximum(tg, f_in - GE), f_in)
+    e_out = jnp.where(C, jnp.maximum(tg, e_in - GE), e_in)
+    h_out = jnp.where(C, h_new, htl)
+    packed = (h_new << 16) + r
+    packed = jnp.where(C, packed, jnp.int32(INT32_MIN))
+    dmax = jnp.max(packed, axis=1, keepdims=True)
+    live = term == 0
+    th = dmax >> 16
+    tr = dmax & 0xFFFF
+    dq = d - tr
+    upd = live & (th > ms)
+    zel = live & ~(th > ms) & (tr >= mr) & (dq >= mq)
+    gap = jnp.abs((tr - mr) - (dq - mq))
+    term = jnp.where(zel & (ms - th > Z + gap * GE), 1, term)
+    ms = jnp.where(upd, th, ms)
+    mr = jnp.where(upd, tr, mr)
+    mq = jnp.where(upd, dq, mq)
+    diags = diags + live.astype(_I32)
+    return h_out, e_out, f_out, (ms, mr, mq, term, diags)
+
+
+def make_current(W, n_diags):
+    """Current-frame mini: hoisted masks, 3 rolls/substep."""
+
+    def kernel(meta_ref, out_ref, hfa, hfb, fst_r, est_r, qwin_r,
+               tb_r, qfw):
+        lane = jax.lax.broadcasted_iota(_I32, (B, W), 1)
+        lane0 = lane == 0
+        qlen = meta_ref[:, 0:1]
+        rlen = meta_ref[:, 1:2]
+        pql = (qlen + 7) >> 3
+        prl = (rlen + 7) >> 3
+        zeros = jnp.zeros((B, 1), _I32)
+
+        hfa[:, :] = lane
+        hfb[:, :] = lane + 1
+        fst_r[:, :] = jnp.full((B, W), MINUS_INF2, _I32)
+        est_r[:, :] = jnp.full((B, W), MINUS_INF2, _I32)
+        qwin_r[:, :] = lane & 3
+        tb_r[:, :] = (lane >> 2) & 3
+        qfw[:, :] = jax.lax.broadcasted_iota(_I32, (B, 3 * LANE), 1) & 3
+
+        r = lane
+        pr = r >> 3
+        ro = r & 7
+        two_r = r << 1
+        blk_first = ro == 0
+        cs = jnp.maximum(0, (pr << 3) - BW) >> 3
+        ce = jnp.minimum(pql - 1, ((pr << 3) + (7 + BW)) >> 3)
+        fake = r >= rlen
+        prev_fake = r > rlen
+        tb = tb_r[:, :]
+
+        def slice_bounds(i):
+            ss = jnp.maximum(
+                jnp.maximum(0, i - pql + 1), _ctrunc16((i << 3) + (8 - BW))
+            )
+            se = jnp.minimum(
+                jnp.minimum(prl - 1, i + (SW - 1)),
+                _ctrunc16((i << 3) + (8 * (SW - 1) + 7 + BW)),
+            )
+            return ss, se
+
+        def inner(carry):
+            d8, i1, kph, ms, mr, mq, term, diags = carry
+            D = d8 >> 3
+            qoff = d8
+            phase = qoff & 127
+            feed = qfw[:, pl.ds(pl.multiple_of(0, LANE), LANE)]
+            feed = pltpu.roll(feed, shift=LANE - phase, axis=1)
+
+            i2 = jnp.where(kph == 0, i1 - SW, i1)
+            ss1, se1 = slice_bounds(i1)
+            ss2, se2 = slice_bounds(i2)
+            insl_a = (pr >= ss1) & (pr <= se1)
+            insl_b = (pr >= ss2) & (pr <= se2)
+            pq_a = D - pr
+            pq_b = pq_a - 1
+            x_a = insl_a & (pq_a >= cs) & (pq_a <= ce)
+            x_b = insl_b & (pq_b >= cs) & (pq_b <= ce)
+            y_a = x_a & (pq_a > cs) & (pq_a < ce)
+            y_b = x_b & (pq_b > cs) & (pq_b < ce)
+            cse_a = pq_a == jnp.maximum(cs, i1 - pr)
+            base_qq = d8 - r
+            base_band = d8 - two_r
+
+            bk = (ms, mr, mq, term, diags)
+            for k in range(8):
+                d = d8 + k
+                cls = ro > k
+                ncls = ro <= k
+                qq_ge0 = base_qq >= -k
+                valid = qq_ge0 & (base_qq < qlen - k)
+                in_band = jnp.abs(base_band + k) <= BW
+                z_a = y_a | (x_a & in_band)
+                z_b = y_b | (x_b & in_band)
+                C = valid & ((cls & z_b) | (ncls & z_a))
+                cst = (ro == k) & qq_ge0 & cse_a
+
+                hf1_ref, hf2_ref = (hfa, hfb) if k % 2 == 0 else (hfb, hfa)
+                qwin = jnp.where(lane0, feed[:, k:k + 1],
+                                 _roll1(qwin_r[:, :]))
+                qwin_r[:, :] = qwin
+                hf1 = hf1_ref[:, :]
+                htl = _roll1(hf2_ref[:, :])
+                htl = jnp.where(lane0, jnp.int32(MINUS_INF2), htl)
+                htl = jnp.where(cst & prev_fake, MINUS_INF2, htl)
+                e_in = est_r[:, :]
+                e_in = jnp.where(lane0, jnp.int32(MINUS_INF2), e_in)
+                f_in = fst_r[:, :]
+                f_in = jnp.where(cst & fake, MINUS_INF2, f_in)
+                del hf1, blk_first
+
+                h_out, e_out, f_out, bk = _core(
+                    qwin, tb, htl, e_in, f_in, C, r, d, bk
+                )
+                hf2_ref[:, :] = h_out
+                est_r[:, :] = _roll1(e_out)
+                fst_r[:, :] = f_out
+            ms, mr, mq, term, diags = bk
+            kph = kph + 1
+            wrap = kph >= SW
+            return (d8 + 8, jnp.where(wrap, i1 + SW, i1),
+                    jnp.where(wrap, 0, kph), ms, mr, mq, term, diags)
+
+        init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                zeros, zeros, zeros, zeros, zeros)
+        final = jax.lax.while_loop(
+            lambda c: c[0] < 8 * n_diags, lambda c: inner(c), init
+        )
+        out_ref[:, 0:1] = final[3]
+        out_ref[:, 1:2] = final[4]
+        out_ref[:, 2:3] = final[5]
+        out_ref[:, 3:4] = final[7]
+
+    return kernel
+
+
+def make_skewed(W, n_diags):
+    """Skewed-frame mini: per-advance mask recompute, 2.5 rolls."""
+
+    def kernel(meta_ref, out_ref, hfa, hfb, fst_r, est_r, qwin_r,
+               tb_r, qfw, tfw):
+        lane = jax.lax.broadcasted_iota(_I32, (B, W), 1)
+        lane0 = lane == 0
+        lanetop = lane == W - 1
+        qlen = meta_ref[:, 0:1]
+        rlen = meta_ref[:, 1:2]
+        pql = (qlen + 7) >> 3
+        prl = (rlen + 7) >> 3
+        zeros = jnp.zeros((B, 1), _I32)
+
+        hfa[:, :] = lane
+        hfb[:, :] = lane + 1
+        fst_r[:, :] = jnp.full((B, W), MINUS_INF2, _I32)
+        est_r[:, :] = jnp.full((B, W), MINUS_INF2, _I32)
+        qwin_r[:, :] = lane & 3
+        tb_r[:, :] = (lane >> 2) & 3
+        qfw[:, :] = jax.lax.broadcasted_iota(_I32, (B, 3 * LANE), 1) & 3
+        tfw[:, :] = jax.lax.broadcasted_iota(_I32, (B, 3 * LANE), 1) & 3
+
+        def slice_bounds(i):
+            ss = jnp.maximum(
+                jnp.maximum(0, i - pql + 1), _ctrunc16((i << 3) + (8 - BW))
+            )
+            se = jnp.minimum(
+                jnp.minimum(prl - 1, i + (SW - 1)),
+                _ctrunc16((i << 3) + (8 * (SW - 1) + 7 + BW)),
+            )
+            return ss, se
+
+        def inner(carry):
+            (d8, i1, kph, rlo, ms, mr, mq, term, diags) = carry
+            D = d8 >> 3
+            phase = d8 & 127
+            feed = qfw[:, pl.ds(pl.multiple_of(0, LANE), LANE)]
+            feed = pltpu.roll(feed, shift=LANE - phase, axis=1)
+            tfeed = tfw[:, pl.ds(pl.multiple_of(0, LANE), LANE)]
+            tfeed = pltpu.roll(tfeed, shift=LANE - phase, axis=1)
+
+            i2 = jnp.where(kph == 0, i1 - SW, i1)
+            ss1, se1 = slice_bounds(i1)
+            ss2, se2 = slice_bounds(i2)
+
+            bk = (ms, mr, mq, term, diags)
+            # r vector for the frame at d8 (recomputed per advance)
+            r = rlo + lane
+            for k in range(8):
+                d = d8 + k
+                advance = k % 2 == 1  # static parity (d8 - bw' parity)
+                if advance:
+                    rlo = rlo + 1
+                    r = r + 1
+                    # --- per-advance recompute of row-derived masks
+                    # (hoisted per packed diagonal in the current frame)
+                    # roll direction is irrelevant for timing; the
+                    # injection select is the honest cost
+                    tb_s = _roll1(tb_r[:, :])
+                    tb_s = jnp.where(lane0, tfeed[:, k:k + 1], tb_s)
+                    tb_r[:, :] = tb_s
+                    fst_s = _roll1(fst_r[:, :])
+                    fst_s = jnp.where(lane0, jnp.int32(MINUS_INF2), fst_s)
+                    fst_r[:, :] = fst_s
+                    hf1_ref = hfa if k % 2 == 0 else hfb
+                    h1 = _roll1(hf1_ref[:, :])
+                    h1 = jnp.where(lane0, jnp.int32(MINUS_INF2), h1)
+                    hf1_ref[:, :] = h1
+                pr = r >> 3
+                ro = r & 7
+                cs = jnp.maximum(0, (pr << 3) - BW) >> 3
+                ce = jnp.minimum(pql - 1, ((pr << 3) + (7 + BW)) >> 3)
+                fake = r >= rlen
+                prev_fake = r > rlen
+                insl_a = (pr >= ss1) & (pr <= se1)
+                insl_b = (pr >= ss2) & (pr <= se2)
+                pq_a = D - pr
+                pq_b = pq_a - 1
+                x_a = insl_a & (pq_a >= cs) & (pq_a <= ce)
+                x_b = insl_b & (pq_b >= cs) & (pq_b <= ce)
+                y_a = x_a & (pq_a > cs) & (pq_a < ce)
+                y_b = x_b & (pq_b > cs) & (pq_b < ce)
+                cse_a = pq_a == jnp.maximum(cs, i1 - pr)
+
+                cls = ro > k
+                ncls = ro <= k
+                qq = d - r
+                valid = (qq >= 0) & (qq < qlen)
+                in_band = jnp.abs(d - (r << 1)) <= BW
+                z_a = y_a | (x_a & in_band)
+                z_b = y_b | (x_b & in_band)
+                C = valid & ((cls & z_b) | (ncls & z_a))
+                cst = (ro == k) & (qq >= 0) & cse_a
+
+                hf2_ref = hfb if k % 2 == 0 else hfa
+                if not advance:
+                    qwin = jnp.where(lane0, feed[:, k:k + 1],
+                                     _roll1(qwin_r[:, :]))
+                    qwin_r[:, :] = qwin
+                    e_in = _roll1(est_r[:, :])
+                    e_in = jnp.where(lane0, jnp.int32(MINUS_INF2), e_in)
+                else:
+                    qwin = qwin_r[:, :]
+                    e_in = est_r[:, :]
+                htl = hf2_ref[:, :]  # roll-free in the skewed frame
+                htl = jnp.where(cst & prev_fake, MINUS_INF2, htl)
+                f_in = fst_r[:, :]
+                f_in = jnp.where(cst & fake, MINUS_INF2, f_in)
+                tb = tb_r[:, :]
+
+                h_out, e_out, f_out, bk = _core(
+                    qwin, tb, htl, e_in, f_in, C, r, d, bk
+                )
+                hf2_ref[:, :] = h_out
+                est_r[:, :] = e_out
+                fst_r[:, :] = f_out
+            ms, mr, mq, term, diags = bk
+            kph = kph + 1
+            wrap = kph >= SW
+            return (d8 + 8, jnp.where(wrap, i1 + SW, i1),
+                    jnp.where(wrap, 0, kph), rlo,
+                    ms, mr, mq, term, diags)
+
+        init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                zeros, zeros, zeros, zeros, zeros)
+        final = jax.lax.while_loop(
+            lambda c: c[0] < 8 * n_diags, lambda c: inner(c), init
+        )
+        out_ref[:, 0:1] = final[4]
+        out_ref[:, 1:2] = final[5]
+        out_ref[:, 2:3] = final[6]
+        out_ref[:, 3:4] = final[8]
+
+    return kernel
+
+
+def run_variant(name, maker, W, G, n_diags, extra_scratch=0):
+    scratch = [
+        pltpu.VMEM((B, W), _I32) for _ in range(6)
+    ] + [pltpu.VMEM((B, 3 * LANE), _I32)]
+    if extra_scratch:
+        scratch.append(pltpu.VMEM((B, 3 * LANE), _I32))
+    kernel = maker(W, n_diags)
+    meta = np.full((G * B, 2), 12000, np.int32)
+
+    @jax.jit
+    def go(meta):
+        return pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[pl.BlockSpec((B, 2), lambda g: (g, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((B, 4), lambda g: (g, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G * B, 4), _I32),
+            scratch_shapes=scratch,
+        )(meta)
+
+    np.asarray(go(meta))  # compile
+    REPS = 8
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [go(meta) for _ in range(REPS)]
+        for o in outs:
+            np.asarray(o)
+        best = min(best, (time.perf_counter() - t0) / REPS)
+    substeps = G * n_diags * 8
+    ns = best / substeps * 1e9
+    print(f"{name:10s} W={W:5d}: {best*1e3:7.1f} ms"
+          f"  {ns:6.1f} ns/substep", flush=True)
+    return ns
+
+
+def main():
+    G = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_diags = int(sys.argv[2]) if len(sys.argv) > 2 else 2400
+    print(f"G={G} programs x {n_diags} packed diagonals", flush=True)
+    cur = run_variant("current", make_current, 1024, G, n_diags)
+    skw = run_variant("skewed", make_skewed, 896, G, n_diags,
+                      extra_scratch=1)
+    # cells/substep identical (8 * bw in-band both frames); the frame
+    # only changes op cost per substep
+    print(f"skew/current per-substep ratio: {skw/cur:.3f} "
+          f"({'WIN' if skw < cur else 'LOSS'} "
+          f"{abs(1 - skw/cur)*100:.1f}%)")
+
+
+if __name__ == "__main__":
+    main()

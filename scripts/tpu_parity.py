@@ -5,6 +5,12 @@
    gap between the CPU-mesh interpret tests (n=8 virtual devices) and
    the compiled kernel (VERDICT round 1, weak #6).
 2. Short- and long-read buckets cross-checked against the sweep oracle.
+3. Windowed-kernel bucket (long targets, small band) vs oracle, plus a
+   noband-eligible short-read bucket (round-2 VERDICT weak #4: these
+   variants never crossed the compiled parity path before).
+4. Device traceback (emit-flags kernel + Pallas walk, compiled) on
+   both buckets: CIGAR must re-score to the kernel score and consume
+   exactly (q_end+1, t_end+1).
 
 Exits non-zero on any mismatch.
 """
@@ -59,6 +65,66 @@ def main():
             print(f"FAIL: pair {p}: kernel {got} != oracle {tuple(exp)}")
             return 1
     print("oracle cross-check: 16/16 OK")
+
+    from agatha_tpu.ops.kernel import window_width
+    from agatha_tpu.ops.traceback import cigar_to_pairs, score_cigar
+    from agatha_tpu.ops.walk import (
+        align_bucket_traceback,
+        decode_moves,
+        moves_to_cigar,
+    )
+
+    def check_tb(pairs, cfg, label):
+        meta, tcodes, qfwd = build_bucket_arrays(pairs, cfg)
+        out, words = align_bucket_traceback(meta, tcodes, qfwd, cfg)
+        out = np.asarray(out)
+        moves = decode_moves(np.asarray(words))
+        for p, (qc, tc, ql, rl) in enumerate(pairs):
+            score, qe, te = (int(out[p, 0]), int(out[p, 1]),
+                             int(out[p, 2]))
+            exp = align_one_sweep(qc, tc, ql, rl, cfg)
+            if (score, qe, te) != tuple(exp):
+                print(f"FAIL {label}: pair {p} kernel != oracle")
+                return False
+            if score == 0 and qe == 0 and te == 0:
+                continue
+            cig = moves_to_cigar(moves[p])
+            if score_cigar(cig, qc, tc, cfg) != score:
+                print(f"FAIL {label}: pair {p} cigar score mismatch")
+                return False
+            if cigar_to_pairs(cig) != (qe + 1, te + 1):
+                print(f"FAIL {label}: pair {p} cigar consumption")
+                return False
+        print(f"{label}: {len(pairs)}/{len(pairs)} OK "
+              "(oracle + compiled traceback)")
+        return True
+
+    # windowed bucket: small band, targets beyond the window width
+    wcfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                       band_width=60, z_threshold=200)
+    wpairs = []
+    for i in range(8):
+        n = int(rng.integers(700, 1000))
+        q = "".join(bases[rng.integers(0, 4, size=n)])
+        t = q[: n // 2] + "".join(
+            bases[rng.integers(0, 4, size=n // 2 + 20)]
+        )
+        wpairs.append((encode_padded(q), encode_padded(t), len(q),
+                       len(t)))
+    assert max(p[3] for p in wpairs) > window_width(wcfg)
+    if not check_tb(wpairs, wcfg, "windowed+traceback"):
+        return 1
+
+    # noband-eligible short reads (band >= padded lengths)
+    npairs = []
+    for i in range(16):
+        n = int(rng.integers(100, 150))
+        q = "".join(bases[rng.integers(0, 4, size=n)])
+        t = q[:50] + "".join(bases[rng.integers(0, 4, size=n - 40)])
+        npairs.append((encode_padded(q), encode_padded(t), len(q),
+                       len(t)))
+    if not check_tb(npairs, cfg, "noband+traceback"):
+        return 1
     return 0
 
 

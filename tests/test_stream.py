@@ -51,11 +51,11 @@ def test_stream_bounded_window(rng):
     orig = engine._dispatch
     collected = [0]
 
-    def counting_dispatch(encoded):
+    def counting_dispatch(encoded, **kw):
         nonlocal live, peak
         live += 1
         peak = max(peak, live)
-        return orig(encoded)
+        return orig(encoded, **kw)
 
     orig_collect = engine._collect
 
