@@ -1,0 +1,105 @@
+"""Short-read kernel-rate measurement (reference regime: 150 bp x 8192).
+
+Protocol: the bucket arrays are staged on the device ONCE, then the
+jitted kernel is dispatched REPS times back-to-back and the whole
+window timed (sustained state; one concatenated fetch).  This isolates
+the kernel rate from the serving tunnel's upload path, which caps
+end-to-end throughput at ~73 k reads/s here (~40 MB/s host->device;
+real PCIe hosts don't have that ceiling — see PERF_NOTES).
+
+Two variants quantify the no-band specialization (bw >= max(w, qf)
+makes every band/chunk-clip test vacuous and compiles the masks away):
+
+  noband  — the production fast path for short reads
+  banded  — same workload with the specialization disabled (source
+            patch, kernel_probe.py-style)
+
+Usage: python scripts/shortread_rate.py [n_reads] [read_len] [REPS]
+"""
+import importlib.util
+import os
+import sys
+import time
+
+import numpy as np
+
+from agatha_tpu.config import AlignConfig
+from agatha_tpu.utils.workload import make_workload
+
+SRC = os.path.join(os.path.dirname(__file__), "..",
+                   "agatha_tpu", "ops", "kernel.py")
+
+
+def load_banded_variant():
+    src = open(SRC).read()
+    old = ("    noband = (not windowed) and "
+           "cfg.band_width >= max(w, qf)")
+    assert old in src
+    src = src.replace(old, "    noband = False")
+    path = "/tmp/_kv_banded.py"
+    open(path, "w").write(src)
+    spec = importlib.util.spec_from_file_location("_kv_banded", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_kv_banded"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def measure(mod, meta, tcodes, qfwd, cfg, n_reads, reps):
+    import jax.numpy as jnp
+
+    # stage ONCE on device: align_bucket's jnp.asarray is then a no-op,
+    # so the timed loop measures the kernel, not the host->device wire
+    meta = jnp.asarray(np.asarray(meta, np.int32))
+    tcodes = jnp.asarray(tcodes)
+    qfwd = jnp.asarray(qfwd)
+    out = mod.align_bucket(meta, tcodes, qfwd, cfg)
+    np.asarray(out)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [mod.align_bucket(meta, tcodes, qfwd, cfg)
+                for _ in range(reps)]
+        np.asarray(jnp.concatenate(outs))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return n_reads / best, out
+
+
+def main():
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    read_len = int(sys.argv[2]) if len(sys.argv) > 2 else 150
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                      slice_width=3, z_threshold=400, band_width=751)
+    enc = make_workload(n_reads, read_len, seed=77)
+
+    import agatha_tpu.ops.kernel as kmod
+
+    meta, tcodes, qfwd = kmod.build_bucket_arrays(enc, cfg)
+    w = tcodes.shape[1] * (2 if tcodes.dtype == np.uint8 else 1)
+    qf = qfwd.shape[1] * (2 if qfwd.dtype == np.uint8 else 1)
+    noband_on = cfg.band_width >= max(w, qf)
+    print(f"{n_reads} x ~{read_len} bp; bucket w={w} qf={qf}; "
+          f"noband eligible: {noband_on}", flush=True)
+
+    rate_nb, out_nb = measure(kmod, meta, tcodes, qfwd, cfg,
+                              n_reads, reps)
+    print(f"noband : {rate_nb/1e3:8.1f} k reads/s (kernel rate, "
+          f"pre-staged, best of 3 x {reps} back-to-back)", flush=True)
+
+    banded = load_banded_variant()
+    rate_b, out_b = measure(banded, meta, tcodes, qfwd, cfg,
+                            n_reads, reps)
+    print(f"banded : {rate_b/1e3:8.1f} k reads/s "
+          f"(specialization disabled)", flush=True)
+    assert (np.asarray(out_nb) == np.asarray(out_b)).all(), \
+        "noband specialization changed results"
+    print(f"noband speedup: {rate_nb/rate_b:.3f}x; results identical")
+    target = 300e3
+    print(f"target >= 300 k reads/s: "
+          f"{'PASS' if rate_nb >= target else 'FAIL'}")
+    return 0 if rate_nb >= target else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

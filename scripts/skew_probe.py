@@ -27,7 +27,6 @@ land near the production kernel's (~215 ns at W=1152 / ~190 at W=1024).
 
 Usage: python scripts/skew_probe.py [G] [DIAGS]
 """
-import functools
 import sys
 import time
 
@@ -183,7 +182,7 @@ def make_current(W, n_diags):
                 e_in = jnp.where(lane0, jnp.int32(MINUS_INF2), e_in)
                 f_in = fst_r[:, :]
                 f_in = jnp.where(cst & fake, MINUS_INF2, f_in)
-                del hf1, blk_first
+                del hf1
 
                 h_out, e_out, f_out, bk = _core(
                     qwin, tb, htl, e_in, f_in, C, r, d, bk
@@ -347,6 +346,284 @@ def make_skewed(W, n_diags):
     return kernel
 
 
+def make_current_ival(W, n_diags):
+    """Current frame + interval masks: the slice/chunk/band predicates
+    are all intervals in the row coordinate, so C collapses to two
+    lane-range tests whose (B,1) bounds are computed once per packed
+    diagonal (band shift folded per-substep with (B,1) arithmetic)."""
+
+    def kernel(meta_ref, out_ref, hfa, hfb, fst_r, est_r, qwin_r,
+               tb_r, qfw):
+        lane = jax.lax.broadcasted_iota(_I32, (B, W), 1)
+        lane0 = lane == 0
+        qlen = meta_ref[:, 0:1]
+        rlen = meta_ref[:, 1:2]
+        pql = (qlen + 7) >> 3
+        prl = (rlen + 7) >> 3
+        zeros = jnp.zeros((B, 1), _I32)
+
+        hfa[:, :] = lane
+        hfb[:, :] = lane + 1
+        fst_r[:, :] = jnp.full((B, W), MINUS_INF2, _I32)
+        est_r[:, :] = jnp.full((B, W), MINUS_INF2, _I32)
+        qwin_r[:, :] = lane & 3
+        tb_r[:, :] = (lane >> 2) & 3
+        qfw[:, :] = jax.lax.broadcasted_iota(_I32, (B, 3 * LANE), 1) & 3
+
+        r = lane
+        ro = r & 7
+        tb = tb_r[:, :]
+
+        def slice_bounds(i):
+            ss = jnp.maximum(
+                jnp.maximum(0, i - pql + 1), _ctrunc16((i << 3) + (8 - BW))
+            )
+            se = jnp.minimum(
+                jnp.minimum(prl - 1, i + (SW - 1)),
+                _ctrunc16((i << 3) + (8 * (SW - 1) + 7 + BW)),
+            )
+            return ss, se
+
+        def inner(carry):
+            d8, i1, kph, ms, mr, mq, term, diags = carry
+            D = d8 >> 3
+            phase = d8 & 127
+            feed = qfw[:, pl.ds(pl.multiple_of(0, LANE), LANE)]
+            feed = pltpu.roll(feed, shift=LANE - phase, axis=1)
+
+            # --- (B,1) interval-bound arithmetic, hoisted per packed
+            # diagonal (representative faithful op count: slice octets,
+            # chunk bounds in pr solved to pr intervals, y interior,
+            # valid-q fold, per class a/b)
+            i2 = jnp.where(kph == 0, i1 - SW, i1)
+            ss1, se1 = slice_bounds(i1)
+            ss2, se2 = slice_bounds(i2)
+
+            def chunk_iv(Dv, ss, se):
+                # pr >= max(Dv - pql + 1, ceil((Dv - FBW)/2), ss)
+                # pr <= min(Dv, (Dv + CBW) >> 1, se)
+                lo = jnp.maximum(
+                    jnp.maximum(Dv - pql + 1, (Dv - FBW + 1) >> 1), ss
+                )
+                hi = jnp.minimum(jnp.minimum(Dv, (Dv + CBW) >> 1), se)
+                # interior (y): shrink one octet each side, then union
+                # with the exact band via min/max (union-of-overlapping
+                # -intervals)
+                ylo, yhi = lo + 1, hi - 1
+                return lo << 3, (hi << 3) + 7, ylo << 3, (yhi << 3) + 7
+
+            alo, ahi, aylo, ayhi = chunk_iv(D, ss1, se1)
+            blo, bhi, bylo, byhi = chunk_iv(D - 1, ss2, se2)
+            cse_row_a = jnp.maximum(alo >> 3, i1 - (D - (alo >> 3)))
+
+            bk = (ms, mr, mq, term, diags)
+            for k in range(8):
+                d = d8 + k
+                cls = ro > k
+                ncls = ro <= k
+                # band interval in r at this substep + valid-q fold
+                bandlo = (d - BW + 1) >> 1
+                bandhi = (d + BW) >> 1
+                vlo = d - qlen + 1
+                lo_a = jnp.maximum(
+                    jnp.minimum(aylo, jnp.maximum(alo, bandlo)), vlo
+                )
+                hi_a = jnp.minimum(
+                    jnp.maximum(ayhi, jnp.minimum(ahi, bandhi)), d
+                )
+                lo_b = jnp.maximum(
+                    jnp.minimum(bylo, jnp.maximum(blo, bandlo)), vlo
+                )
+                hi_b = jnp.minimum(
+                    jnp.maximum(byhi, jnp.minimum(bhi, bandhi)), d
+                )
+                in_a = (r >= lo_a) & (r <= hi_a)
+                in_b = (r >= lo_b) & (r <= hi_b)
+                C = (cls & in_b) | (ncls & in_a)
+                cr = cse_row_a << 3
+                cst = (ro == k) & (r >= cr) & (r <= cr + 7)
+
+                hf2_ref = hfb if k % 2 == 0 else hfa
+                qwin = jnp.where(lane0, feed[:, k:k + 1],
+                                 _roll1(qwin_r[:, :]))
+                qwin_r[:, :] = qwin
+                htl = _roll1(hf2_ref[:, :])
+                htl = jnp.where(lane0, jnp.int32(MINUS_INF2), htl)
+                htl = jnp.where(cst, MINUS_INF2, htl)
+                e_in = est_r[:, :]
+                e_in = jnp.where(lane0, jnp.int32(MINUS_INF2), e_in)
+                f_in = fst_r[:, :]
+                f_in = jnp.where(cst, MINUS_INF2, f_in)
+
+                h_out, e_out, f_out, bk = _core(
+                    qwin, tb, htl, e_in, f_in, C, r, d, bk
+                )
+                hf2_ref[:, :] = h_out
+                est_r[:, :] = _roll1(e_out)
+                fst_r[:, :] = f_out
+            ms, mr, mq, term, diags = bk
+            kph = kph + 1
+            wrap = kph >= SW
+            return (d8 + 8, jnp.where(wrap, i1 + SW, i1),
+                    jnp.where(wrap, 0, kph), ms, mr, mq, term, diags)
+
+        init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                zeros, zeros, zeros, zeros, zeros)
+        final = jax.lax.while_loop(
+            lambda c: c[0] < 8 * n_diags, lambda c: inner(c), init
+        )
+        out_ref[:, 0:1] = final[3]
+        out_ref[:, 1:2] = final[4]
+        out_ref[:, 2:3] = final[5]
+        out_ref[:, 3:4] = final[7]
+
+    return kernel
+
+
+def make_skewed_ival(W, n_diags):
+    """Skewed frame + interval masks: the per-advance mask recompute
+    collapses to (B,1) bound arithmetic, so the frame's roll/width
+    savings should survive."""
+
+    def kernel(meta_ref, out_ref, hfa, hfb, fst_r, est_r, qwin_r,
+               tb_r, qfw, tfw):
+        lane = jax.lax.broadcasted_iota(_I32, (B, W), 1)
+        lane0 = lane == 0
+        qlen = meta_ref[:, 0:1]
+        rlen = meta_ref[:, 1:2]
+        pql = (qlen + 7) >> 3
+        prl = (rlen + 7) >> 3
+        zeros = jnp.zeros((B, 1), _I32)
+
+        hfa[:, :] = lane
+        hfb[:, :] = lane + 1
+        fst_r[:, :] = jnp.full((B, W), MINUS_INF2, _I32)
+        est_r[:, :] = jnp.full((B, W), MINUS_INF2, _I32)
+        qwin_r[:, :] = lane & 3
+        tb_r[:, :] = (lane >> 2) & 3
+        qfw[:, :] = jax.lax.broadcasted_iota(_I32, (B, 3 * LANE), 1) & 3
+        tfw[:, :] = jax.lax.broadcasted_iota(_I32, (B, 3 * LANE), 1) & 3
+
+        def slice_bounds(i):
+            ss = jnp.maximum(
+                jnp.maximum(0, i - pql + 1), _ctrunc16((i << 3) + (8 - BW))
+            )
+            se = jnp.minimum(
+                jnp.minimum(prl - 1, i + (SW - 1)),
+                _ctrunc16((i << 3) + (8 * (SW - 1) + 7 + BW)),
+            )
+            return ss, se
+
+        def inner(carry):
+            (d8, i1, kph, rlo, ms, mr, mq, term, diags) = carry
+            D = d8 >> 3
+            phase = d8 & 127
+            feed = qfw[:, pl.ds(pl.multiple_of(0, LANE), LANE)]
+            feed = pltpu.roll(feed, shift=LANE - phase, axis=1)
+            tfeed = tfw[:, pl.ds(pl.multiple_of(0, LANE), LANE)]
+            tfeed = pltpu.roll(tfeed, shift=LANE - phase, axis=1)
+
+            i2 = jnp.where(kph == 0, i1 - SW, i1)
+            ss1, se1 = slice_bounds(i1)
+            ss2, se2 = slice_bounds(i2)
+
+            def chunk_iv(Dv, ss, se):
+                lo = jnp.maximum(
+                    jnp.maximum(Dv - pql + 1, (Dv - FBW + 1) >> 1), ss
+                )
+                hi = jnp.minimum(jnp.minimum(Dv, (Dv + CBW) >> 1), se)
+                ylo, yhi = lo + 1, hi - 1
+                return lo << 3, (hi << 3) + 7, ylo << 3, (yhi << 3) + 7
+
+            alo, ahi, aylo, ayhi = chunk_iv(D, ss1, se1)
+            blo, bhi, bylo, byhi = chunk_iv(D - 1, ss2, se2)
+            cse_row_a = jnp.maximum(alo >> 3, i1 - (D - (alo >> 3)))
+
+            bk = (ms, mr, mq, term, diags)
+            r = rlo + lane
+            ro = r & 7
+            for k in range(8):
+                d = d8 + k
+                advance = k % 2 == 1
+                if advance:
+                    rlo = rlo + 1
+                    r = r + 1
+                    ro = r & 7  # periodic; recomputed per advance
+                    tb_s = _roll1(tb_r[:, :])
+                    tb_s = jnp.where(lane0, tfeed[:, k:k + 1], tb_s)
+                    tb_r[:, :] = tb_s
+                    fst_s = _roll1(fst_r[:, :])
+                    fst_s = jnp.where(lane0, jnp.int32(MINUS_INF2), fst_s)
+                    fst_r[:, :] = fst_s
+                    hf1_ref = hfa if k % 2 == 0 else hfb
+                    h1 = _roll1(hf1_ref[:, :])
+                    h1 = jnp.where(lane0, jnp.int32(MINUS_INF2), h1)
+                    hf1_ref[:, :] = h1
+                bandlo = (d - BW + 1) >> 1
+                bandhi = (d + BW) >> 1
+                vlo = d - qlen + 1
+                lo_a = jnp.maximum(
+                    jnp.minimum(aylo, jnp.maximum(alo, bandlo)), vlo
+                )
+                hi_a = jnp.minimum(
+                    jnp.maximum(ayhi, jnp.minimum(ahi, bandhi)), d
+                )
+                lo_b = jnp.maximum(
+                    jnp.minimum(bylo, jnp.maximum(blo, bandlo)), vlo
+                )
+                hi_b = jnp.minimum(
+                    jnp.maximum(byhi, jnp.minimum(bhi, bandhi)), d
+                )
+                cls = ro > k
+                ncls = ro <= k
+                in_a = (r >= lo_a) & (r <= hi_a)
+                in_b = (r >= lo_b) & (r <= hi_b)
+                C = (cls & in_b) | (ncls & in_a)
+                cr = cse_row_a << 3
+                cst = (ro == k) & (r >= cr) & (r <= cr + 7)
+
+                hf2_ref = hfb if k % 2 == 0 else hfa
+                if not advance:
+                    qwin = jnp.where(lane0, feed[:, k:k + 1],
+                                     _roll1(qwin_r[:, :]))
+                    qwin_r[:, :] = qwin
+                    e_in = _roll1(est_r[:, :])
+                    e_in = jnp.where(lane0, jnp.int32(MINUS_INF2), e_in)
+                else:
+                    qwin = qwin_r[:, :]
+                    e_in = est_r[:, :]
+                htl = hf2_ref[:, :]
+                htl = jnp.where(cst, MINUS_INF2, htl)
+                f_in = fst_r[:, :]
+                f_in = jnp.where(cst, MINUS_INF2, f_in)
+                tb = tb_r[:, :]
+
+                h_out, e_out, f_out, bk = _core(
+                    qwin, tb, htl, e_in, f_in, C, r, d, bk
+                )
+                hf2_ref[:, :] = h_out
+                est_r[:, :] = e_out
+                fst_r[:, :] = f_out
+            ms, mr, mq, term, diags = bk
+            kph = kph + 1
+            wrap = kph >= SW
+            return (d8 + 8, jnp.where(wrap, i1 + SW, i1),
+                    jnp.where(wrap, 0, kph), rlo,
+                    ms, mr, mq, term, diags)
+
+        init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                zeros, zeros, zeros, zeros, zeros)
+        final = jax.lax.while_loop(
+            lambda c: c[0] < 8 * n_diags, lambda c: inner(c), init
+        )
+        out_ref[:, 0:1] = final[4]
+        out_ref[:, 1:2] = final[5]
+        out_ref[:, 2:3] = final[6]
+        out_ref[:, 3:4] = final[8]
+
+    return kernel
+
+
 def run_variant(name, maker, W, G, n_diags, extra_scratch=0):
     scratch = [
         pltpu.VMEM((B, W), _I32) for _ in range(6)
@@ -392,11 +669,16 @@ def main():
     cur = run_variant("current", make_current, 1024, G, n_diags)
     skw = run_variant("skewed", make_skewed, 896, G, n_diags,
                       extra_scratch=1)
+    ivl = run_variant("cur_ival", make_current_ival, 1024, G, n_diags)
+    siv = run_variant("skw_ival", make_skewed_ival, 896, G, n_diags,
+                      extra_scratch=1)
     # cells/substep identical (8 * bw in-band both frames); the frame
     # only changes op cost per substep
-    print(f"skew/current per-substep ratio: {skw/cur:.3f} "
-          f"({'WIN' if skw < cur else 'LOSS'} "
-          f"{abs(1 - skw/cur)*100:.1f}%)")
+    for name, v in (("skewed", skw), ("cur_ival", ivl),
+                    ("skw_ival", siv)):
+        print(f"{name}/current per-substep ratio: {v/cur:.3f} "
+              f"({'WIN' if v < cur else 'LOSS'} "
+              f"{abs(1 - v/cur)*100:.1f}%)")
 
 
 if __name__ == "__main__":
