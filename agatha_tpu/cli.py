@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cigar", action="store_true",
                    help="append a CIGAR column to each result line "
                         "(capability beyond the reference)")
+    p.add_argument("--tb-mode", choices=["device", "host"],
+                   default="device", dest="tb_mode",
+                   help="CIGAR engine: on-device flag kernel + walk "
+                        "(default) or the AVX-512 host fallback")
     p.add_argument("query_fasta")
     p.add_argument("target_fasta")
     p.add_argument("raw_file", nargs="?", default=None)
@@ -89,7 +93,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     engine = AlignEngine(
         cfg,
-        EngineConfig(aligns_per_batch=args.a, cpu_threads=args.n),
+        EngineConfig(aligns_per_batch=args.a, cpu_threads=args.n,
+                     traceback_mode=args.tb_mode),
         interpret=args.interpret,
     )
 

@@ -295,18 +295,32 @@ class AlignEngine:
             traceback and self.engine_cfg.traceback_mode == "device"
         )
         mesh = None if device_tb else self._local_mesh()
+        tb_devs = None
         buckets = []
         pending = []
         for b in self.iter_buckets(encoded):
             if device_tb:
                 from agatha_tpu.ops.walk import align_bucket_traceback
 
-                for sb in self._split_for_flags(b):
+                if tb_devs is None:
+                    import jax
+
+                    tb_devs = (
+                        jax.local_devices()
+                        if self.engine_cfg.use_all_devices else [None]
+                    )
+                    if len(tb_devs) <= 1:
+                        tb_devs = [None]
+                for sb in self._split_for_flags(
+                        b, n_parts=len(tb_devs)):
+                    # round-robin across local chips: each device runs
+                    # its own flag-kernel + walk pipeline concurrently
+                    dev = tb_devs[len(pending) % len(tb_devs)]
                     buckets.append(sb)
                     pending.append(
                         align_bucket_traceback(
                             sb.meta, sb.tcodes, sb.qfwd, self.cfg,
-                            interpret=self.interpret,
+                            interpret=self.interpret, device=dev,
                         )
                     )
             elif mesh is not None:
@@ -343,9 +357,10 @@ class AlignEngine:
         (SURVEY.md §2.3 inter-device row): pairs are embarrassingly
         parallel, and bucket-level sharding keeps all chips busy even
         when a batch produces fewer buckets than there are devices.
-        The device-traceback path stays single-device for now (its
-        flag bitmap + walk are per-device local; sharding them is
-        future work) — mixing would reorder nothing, just run slower.
+        The device-traceback path multi-devices differently: its flag
+        bitmap + walk are per-device local, so _dispatch round-robins
+        whole traceback buckets across local chips instead of sharding
+        rows (each chip runs an independent flags+walk pipeline).
         """
         if not self.engine_cfg.use_all_devices:
             return None
@@ -365,8 +380,14 @@ class AlignEngine:
                 self._mesh = make_pairs_mesh(devs)
         return self._mesh or None
 
-    def _split_for_flags(self, b: _Bucket):
-        """Split a bucket so its flag bitmap fits tb_flag_bytes."""
+    def _split_for_flags(self, b: _Bucket, n_parts: int = 1):
+        """Split a bucket so its flag bitmap fits tb_flag_bytes.
+
+        ``n_parts`` > 1 additionally splits into at least that many
+        sub-buckets (rows permitting) so the round-robin device
+        dispatch keeps every local chip busy even when a batch packs
+        into fewer buckets than there are devices.
+        """
         from agatha_tpu.ops.kernel import (
             flag_planes_needed,
             window_width,
@@ -378,6 +399,10 @@ class AlignEngine:
         per_row = planes * w_state * 4
         max_rows = max(8, (self.engine_cfg.tb_flag_bytes // per_row)
                        // 8 * 8)
+        if n_parts > 1:
+            per_part = -(-b.meta.shape[0] // n_parts)  # ceil
+            part = max(8, -(-per_part // 8) * 8)       # up to 8-mult
+            max_rows = min(max_rows, part)
         gb = b.meta.shape[0]
         if gb <= max_rows:
             yield b
@@ -432,23 +457,33 @@ class AlignEngine:
         elif device_tb:
             # One flat device concat + one fetch for scores AND move
             # words (per-array fetches pay the tunnel round-trip floor
-            # each; the word blobs are tiny next to it).
+            # each; the word blobs are tiny next to it).  With buckets
+            # round-robined across local devices, arrays cannot be
+            # concatenated on-device — fetch per array instead (one
+            # host round-trip per bucket, amortized across chips).
             outs_d = [p[0] for p in pending]
             words_d = [p[1] for p in pending]
-            shapes = [w.shape for w in words_d]
-            flat = jnp.concatenate(
-                [o.reshape(-1) for o in outs_d]
-                + [w.reshape(-1) for w in words_d]
-            )
-            blob = np.asarray(flat)
-            o_rows = sum(o.shape[0] for o in outs_d)
-            all_out = blob[: o_rows * 4].reshape(o_rows, 4)
-            words_np = []
-            off = o_rows * 4
-            for shp in shapes:
-                sz = shp[0] * shp[1]
-                words_np.append(blob[off : off + sz].reshape(shp))
-                off += sz
+            devs = {next(iter(o.devices())) for o in outs_d}
+            if len(devs) > 1:
+                words_np = [np.asarray(w) for w in words_d]
+                all_out = np.concatenate(
+                    [np.asarray(o) for o in outs_d]
+                )
+            else:
+                shapes = [w.shape for w in words_d]
+                flat = jnp.concatenate(
+                    [o.reshape(-1) for o in outs_d]
+                    + [w.reshape(-1) for w in words_d]
+                )
+                blob = np.asarray(flat)
+                o_rows = sum(o.shape[0] for o in outs_d)
+                all_out = blob[: o_rows * 4].reshape(o_rows, 4)
+                words_np = []
+                off = o_rows * 4
+                for shp in shapes:
+                    sz = shp[0] * shp[1]
+                    words_np.append(blob[off : off + sz].reshape(shp))
+                    off += sz
         elif len(pending) > 1:
             all_out = np.asarray(jnp.concatenate(pending, axis=0))
         else:

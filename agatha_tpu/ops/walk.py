@@ -349,6 +349,7 @@ def align_bucket_traceback(
     *,
     interpret: bool = False,
     force_strips: bool = False,
+    device=None,
 ):
     """Align one bucket AND produce its move words, all on device.
 
@@ -358,7 +359,13 @@ def align_bucket_traceback(
     move words (device array; fetch + decode with `decode_moves`).
     The flag bitmap is donated to the walk, so its HBM is released as
     soon as the walk runs.
+
+    ``device``: optional jax device to pin the whole pipeline to —
+    inputs are device_put there and the flag kernel + walk follow,
+    which is how the engine round-robins traceback buckets across
+    local chips (each device runs its own pipeline concurrently).
     """
+    import jax
     import jax.numpy as jnp
 
     meta = np.asarray(meta)
@@ -371,14 +378,19 @@ def align_bucket_traceback(
     safe16 = (not force_strips) and int16_safe(cfg, max_len=w + qf)
     windowed = w > window_width(cfg)
     planes = flag_planes_needed(meta, cfg)
+
+    def stage(x):
+        x = jnp.asarray(x)
+        return x if device is None else jax.device_put(x, device)
+
     out, flags = _align_bucket_jit(
-        jnp.asarray(meta, jnp.int32),
-        jnp.asarray(tcodes),
-        jnp.asarray(qfwd),
+        stage(np.asarray(meta, np.int32)),
+        stage(tcodes),
+        stage(qfwd),
         cfg=cfg, w=w, qf=qf, safe16=safe16, interpret=interpret,
         windowed=windowed, emit_flags=True, d8_planes=planes,
     )
-    vbases = jnp.asarray(vbase_schedule(planes, cfg, w))
+    vbases = stage(vbase_schedule(planes, cfg, w))
     w_state = min(w, window_width(cfg)) if windowed else w
     if interpret:
         # XLA walk (also the semantic reference for the Pallas walk)

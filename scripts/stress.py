@@ -5,7 +5,13 @@ oracle over randomized pairs and configs, covering both kernel variants
 (full / sliding-window), the int16-safe fast path and the strict strip
 path, reverse/complement ops, N bases, and extreme length asymmetry.
 
-Usage: python scripts/stress.py [n_rounds] [seed]
+With ``--traceback`` each round additionally runs the compiled
+on-device traceback pipeline (emit-flags kernel + Pallas walk) on the
+same bucket and validates every CIGAR: (score, ends) must stay
+bit-exact, the CIGAR must re-score to the kernel score under the plain
+affine model and consume exactly (q_end+1, t_end+1) bases.
+
+Usage: python scripts/stress.py [n_rounds] [seed] [--traceback]
 Exits non-zero on any mismatch.
 """
 
@@ -54,8 +60,10 @@ def mutate(rng, seq, div=0.12):
 
 
 def main():
-    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    argv = [a for a in sys.argv[1:] if a != "--traceback"]
+    with_tb = "--traceback" in sys.argv[1:]
+    rounds = int(argv[0]) if len(argv) > 0 else 4
+    seed = int(argv[1]) if len(argv) > 1 else 0
     rng = np.random.default_rng(seed)
     total = bad = 0
     for rd in range(rounds):
@@ -98,6 +106,52 @@ def main():
                     f"z={cfg.z_threshold},sw={cfg.slice_width}) "
                     f"pair={p} ql={ql} rl={rl} exp={tuple(exp)} got={got}"
                 )
+        if with_tb and not round_bad:
+            from agatha_tpu.ops.traceback import (
+                cigar_to_pairs,
+                score_cigar,
+            )
+            from agatha_tpu.ops.walk import (
+                align_bucket_traceback,
+                decode_moves,
+                moves_to_cigar,
+            )
+
+            tout, words = align_bucket_traceback(
+                meta, tcodes, qfwd, cfg, force_strips=force
+            )
+            tout = np.asarray(tout)
+            if not (tout == out).all():
+                round_bad += 1
+                print(f"TB MISMATCH round={rd}: emit-flags kernel "
+                      "results differ from the score kernel")
+            else:
+                from agatha_tpu.ops.kernel import int16_safe
+
+                w_ = tcodes.shape[1] * (
+                    2 if tcodes.dtype == np.uint8 else 1)
+                qf_ = qfwd.shape[1] * (
+                    2 if qfwd.dtype == np.uint8 else 1)
+                # outside the int16-safe regime (or with forced strip
+                # wraparound) the plain-affine rescore can legitimately
+                # differ from the wrapped kernel score; the consumption
+                # invariant must hold regardless
+                strict = int16_safe(cfg, max_len=w_ + qf_) and not force
+                moves = decode_moves(np.asarray(words))
+                for p, (qc, tc, ql, rl) in enumerate(pairs):
+                    score, qe, te = (int(out[p, 0]), int(out[p, 1]),
+                                     int(out[p, 2]))
+                    if score == 0 and qe == 0 and te == 0:
+                        continue
+                    cig = moves_to_cigar(moves[p])
+                    if cigar_to_pairs(cig) != (qe + 1, te + 1):
+                        round_bad += 1
+                        print(f"TB CONSUME BAD round={rd} pair={p}")
+                        continue
+                    if strict and score_cigar(cig, qc, tc, cfg) != score:
+                        round_bad += 1
+                        print(f"TB CIGAR BAD round={rd} pair={p} "
+                              f"score={score}")
         bad += round_bad
         print(f"round {rd + 1}/{rounds} "
               f"(bw={cfg.band_width}, z={cfg.z_threshold}, "

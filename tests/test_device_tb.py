@@ -142,12 +142,16 @@ def test_engine_flag_bucket_split(rng):
 
     cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2)
     enc = make_workload(16, 400, seed=6)
+    # single-device engines: isolates the tb_flag_bytes split from the
+    # per-device split the multi-chip round-robin also applies
     small = AlignEngine(
-        cfg, EngineConfig(aligns_per_batch=16, tb_flag_bytes=1 << 20),
+        cfg, EngineConfig(aligns_per_batch=16, tb_flag_bytes=1 << 20,
+                          use_all_devices=False),
         interpret=True,
     ).align(enc, traceback=True)
     big = AlignEngine(
-        cfg, EngineConfig(aligns_per_batch=16), interpret=True
+        cfg, EngineConfig(aligns_per_batch=16, use_all_devices=False),
+        interpret=True,
     ).align(enc, traceback=True)
     assert small.cigars == big.cigars
     assert (small.scores == big.scores).all()
@@ -167,3 +171,23 @@ def test_stream_device_traceback_matches_batch(rng):
         for c in r.cigars
     ]
     assert stream == batch.cigars
+
+
+def test_engine_traceback_round_robin_devices(rng):
+    """Traceback buckets round-robin across the 8-device mesh; CIGARs
+    must equal the single-device path exactly."""
+    import jax
+
+    from agatha_tpu.utils.workload import make_workload
+
+    assert len(jax.local_devices()) == 8
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2)
+    enc = make_workload(24, 500, seed=15)
+    multi = AlignEngine(cfg, EngineConfig(aligns_per_batch=8),
+                        interpret=True).align(enc, traceback=True)
+    single = AlignEngine(
+        cfg, EngineConfig(aligns_per_batch=8, use_all_devices=False),
+        interpret=True,
+    ).align(enc, traceback=True)
+    assert multi.cigars == single.cigars
+    assert (multi.scores == single.scores).all()
