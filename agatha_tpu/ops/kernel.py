@@ -183,14 +183,31 @@ def window_width(cfg: AlignConfig) -> int:
 def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                  windowed: bool = False, wt: int | None = None,
                  b_pairs: int = B_PAIRS, noband: bool = False,
-                 emit_flags: bool = False):
+                 emit_flags: bool = False, n_waves: int = 1):
     # W: lane width of the state window; wt: full tcodes width (== W
     # unless windowed).
+    #
+    # n_waves > 1 runs that many INDEPENDENT pair-blocks ("waves")
+    # inside one program, their substeps interleaved in program order:
+    # narrow-width programs are bound by the ~60-70 ns exposed latency
+    # of the chained per-substep rolls (PERF_NOTES round 3), and wave
+    # w's substep k has no data dependence on wave w-1's substep k, so
+    # the issue slots stalled behind one wave's rolls fill with the
+    # other waves' ALU work.  Each wave is the identical single-wave
+    # kernel instantiated over disjoint VMEM scratch and its own B
+    # metadata rows — a pure program-order transform; results are
+    # bit-identical to n_waves independent programs.  The windowed
+    # variant is wave-capable too (the shift DECISION is pure in d8 so
+    # it is shared; only the state shifts replicate); emit_flags is
+    # not — its staging-plane DMA layout assumes one block per program.
+    assert n_waves == 1 or not emit_flags
     wt = W if wt is None else wt
     sw, bw, z = cfg.slice_width, cfg.band_width, cfg.z_threshold
     goe, ge = cfg.gap_oe, cfg.gap_extend
     match, mism = cfg.match, cfg.mismatch
     B = b_pairs
+    NW = n_waves
+    NB = NW * B
     P8 = 8 * sw
 
     if safe16:
@@ -225,24 +242,33 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
         # width on this hardware, so sequence windows are DMA'd into
         # fixed-size VMEM scratch instead (also makes VMEM use
         # independent of sequence length).
-        rowb = pl.multiple_of(pl.program_id(0) * B, B)
-        qlen = meta_ref[:, 0:1]
-        rlen = meta_ref[:, 1:2]
-        pql = (qlen + 7) >> 3
-        prl = (rlen + 7) >> 3
-        n_diags = qlen + rlen - 1
-        tad = prl + pql - 1
-        i_end = ((tad + (sw - 1)) // sw) * sw
-        i_end8 = i_end << 3
-        end_p = i_end8 + 8
+        # Per-wave pair metadata: wave i owns block rows [i*B, (i+1)*B).
+        rowb = [
+            pl.multiple_of(pl.program_id(0) * NB + i * B, B)
+            for i in range(NW)
+        ]
+        if NW == 1:
+            qlen = [meta_ref[:, 0:1]]
+            rlen = [meta_ref[:, 1:2]]
+        else:
+            qlen = [meta_ref[i * B:(i + 1) * B, 0:1] for i in range(NW)]
+            rlen = [meta_ref[i * B:(i + 1) * B, 1:2] for i in range(NW)]
+        pql = [(q + 7) >> 3 for q in qlen]
+        prl = [(t + 7) >> 3 for t in rlen]
+        n_diags = [q + t - 1 for q, t in zip(qlen, rlen)]
+        tad = [p + q - 1 for p, q in zip(prl, pql)]
+        i_end = [((t + (sw - 1)) // sw) * sw for t in tad]
+        i_end8 = [ie << 3 for ie in i_end]
+        end_p = [ie8 + 8 for ie8 in i_end8]
 
-        def slice_bounds(i):
+        def slice_bounds(i, pql_w, prl_w):
             # banded slice clipping (agatha_kernel.h:183-186)
             ss = jnp.maximum(
-                jnp.maximum(0, i - pql + 1), _ctrunc16((i << 3) + (8 - bw))
+                jnp.maximum(0, i - pql_w + 1),
+                _ctrunc16((i << 3) + (8 - bw)),
             )
             se = jnp.minimum(
-                jnp.minimum(prl - 1, i + (sw - 1)),
+                jnp.minimum(prl_w - 1, i + (sw - 1)),
                 _ctrunc16((i << 3) + (8 * (sw - 1) + 7 + bw)),
             )
             return ss, se
@@ -270,10 +296,13 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
 
         def cond(carry):
             d8 = carry[0]
-            term = carry[7]
+            bks = carry[4]
             # term is an int32 0/1 mask: Mosaic cannot carry i1 vectors
             # through scf.while.
-            return jnp.any((term == 0) & (d8 < end_p))
+            alive = jnp.any((bks[0][3] == 0) & (d8 < end_p[0]))
+            for i in range(1, NW):
+                alive |= jnp.any((bks[i][3] == 0) & (d8 < end_p[i]))
+            return alive
 
         # State lives in VMEM scratch refs, not loop carries.  Each
         # outer half runs INNER_ITERS packed diagonals against one set
@@ -302,18 +331,18 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             return pltpu.make_async_copy(
                 acc_ref[0],
                 flags_ref.at[
-                    pl.ds(rowb, B),
+                    pl.ds(rowb[0], B),
                     pl.ds(pl.multiple_of((d8 >> 3) * W, LANE),
                           INNER_ITERS * W),
                 ],
                 acc_ref[1].at[0],
             )
 
-        def make_dmas(vbase, blk0, tbw, qfw, sems):
+        def make_dmas(vbase, blk0, tbw, qfw, sems, rowb_w):
             tb_base = vbase if windowed else 0
             cp_t = pltpu.make_async_copy(
                 tcodes_ref.at[
-                    pl.ds(rowb, B),
+                    pl.ds(rowb_w, B),
                     pl.ds(pl.multiple_of(tb_base, LANE), W),
                 ],
                 tbw,
@@ -321,7 +350,7 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             )
             cp_q = pltpu.make_async_copy(
                 qfwd_ref.at[
-                    pl.ds(rowb, B),
+                    pl.ds(rowb_w, B),
                     pl.ds(pl.multiple_of(blk0, LANE), 3 * LANE),
                 ],
                 qfw,
@@ -330,19 +359,18 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             return cp_t, cp_q
 
         def half(carry, refs, use_bufs, pre_bufs):
-            d8, vbase_prev, i1, kph, ms, mr, mq, term, diags = carry
-            if emit_flags:
-                hfa, hfb, fst_r, est_r, qwin_r, acc_w, sem_f = refs
-            else:
-                hfa, hfb, fst_r, est_r, qwin_r = refs
-                acc_w = sem_f = None
-            tbw, qfw, sems = use_bufs
+            d8, vbase_prev, i1, kph, bks = carry
+            waves_refs, acc_w, sem_f = refs
 
             # this half's window (recomputes the prefetch decision)
             vbase, blk0 = next_window(d8, vbase_prev)
-            cp_t, cp_q = make_dmas(vbase, blk0, tbw, qfw, sems)
-            cp_t.wait()
-            cp_q.wait()
+            cps = [
+                make_dmas(vbase, blk0, *use_bufs[i], rowb[i])
+                for i in range(NW)
+            ]
+            for cp_t, cp_q in cps:
+                cp_t.wait()
+                cp_q.wait()
             if emit_flags:
                 # previous half's flag-plane DMA (or the primer) must
                 # complete before this half overwrites the staging buf
@@ -369,67 +397,80 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 rn = vbase + lane
                 inc = lane >= W - SHIFT_Q
                 h0n, f0n = boundary_init(rn)
-                hfa[:, :] = jnp.where(
-                    wmask, jnp.where(inc, h0n, shl(hfa[:, :])), hfa[:, :]
-                )
-                hfb[:, :] = jnp.where(
-                    wmask, jnp.where(inc, h0n, shl(hfb[:, :])), hfb[:, :]
-                )
-                fst_r[:, :] = jnp.where(
-                    wmask, jnp.where(inc, f0n, shl(fst_r[:, :])),
-                    fst_r[:, :],
-                )
-                est_r[:, :] = jnp.where(
-                    wmask, jnp.where(inc, minus_inf2, shl(est_r[:, :])),
-                    est_r[:, :],
-                )
-                qwin_r[:, :] = jnp.where(
-                    wmask, shl(qwin_r[:, :]), qwin_r[:, :]
-                )
+                for hfa, hfb, fst_r, est_r, qwin_r in waves_refs:
+                    hfa[:, :] = jnp.where(
+                        wmask, jnp.where(inc, h0n, shl(hfa[:, :])),
+                        hfa[:, :],
+                    )
+                    hfb[:, :] = jnp.where(
+                        wmask, jnp.where(inc, h0n, shl(hfb[:, :])),
+                        hfb[:, :],
+                    )
+                    fst_r[:, :] = jnp.where(
+                        wmask, jnp.where(inc, f0n, shl(fst_r[:, :])),
+                        fst_r[:, :],
+                    )
+                    est_r[:, :] = jnp.where(
+                        wmask,
+                        jnp.where(inc, minus_inf2, shl(est_r[:, :])),
+                        est_r[:, :],
+                    )
+                    qwin_r[:, :] = jnp.where(
+                        wmask, shl(qwin_r[:, :]), qwin_r[:, :]
+                    )
                 r = vbase + lane
             else:
                 r = lane
 
             # prefetch the NEXT half's windows into the other buffers
             nvbase, nblk0 = next_window(d8 + 8 * INNER_ITERS, vbase)
-            ncp_t, ncp_q = make_dmas(nvbase, nblk0, *pre_bufs)
-            ncp_t.start()
-            ncp_q.start()
-
-            tb = tbw[:, :]
+            for i in range(NW):
+                ncp_t, ncp_q = make_dmas(nvbase, nblk0, *pre_bufs[i],
+                                         rowb[i])
+                ncp_t.start()
+                ncp_q.start()
 
             # per-window invariants (constant across the inner loop);
             # sm/sx fold the target-side N case into the match/mismatch
             # selections so the substep needs one select fewer
-            t_is_n = tb == N_VALUE
-            sub_m = jnp.where(t_is_n, -N_PENALTY, match)
-            sub_x = jnp.where(t_is_n, -N_PENALTY, -mism)
             pr = r >> 3
             ro = r & 7
             two_r = r << 1
             blk_first = ro == 0
-            cs = jnp.maximum(0, (pr << 3) - bw) >> 3
-            ce = jnp.minimum(pql - 1, ((pr << 3) + (7 + bw)) >> 3)
-            fake = r >= rlen      # rows beyond ref_len in the last word
-            prev_fake = r > rlen  # fake shifted down one row
+            tb, sub_m, sub_x, cs, ce, fake, prev_fake = (
+                [], [], [], [], [], [], []
+            )
+            for i in range(NW):
+                tb_i = use_bufs[i][0][:, :]
+                t_is_n = tb_i == N_VALUE
+                tb.append(tb_i)
+                sub_m.append(jnp.where(t_is_n, -N_PENALTY, match))
+                sub_x.append(jnp.where(t_is_n, -N_PENALTY, -mism))
+                cs.append(jnp.maximum(0, (pr << 3) - bw) >> 3)
+                ce.append(
+                    jnp.minimum(pql[i] - 1, ((pr << 3) + (7 + bw)) >> 3)
+                )
+                # rows beyond ref_len in the last word / shifted by one
+                fake.append(r >= rlen[i])
+                prev_fake.append(r > rlen[i])
 
             inner = functools.partial(
                 _inner, r=r, pr=pr, ro=ro, two_r=two_r,
                 blk_first=blk_first, cs=cs, ce=ce, fake=fake,
                 prev_fake=prev_fake, tb=tb, sub_m=sub_m, sub_x=sub_x,
-                vbase=vbase, blk0=blk0, hfa=hfa, hfb=hfb, fst_r=fst_r,
-                est_r=est_r, qwin_r=qwin_r, qfw=qfw,
+                vbase=vbase, blk0=blk0, waves_refs=waves_refs,
+                qfw=[use_bufs[i][1] for i in range(NW)],
                 acc_w=acc_w, sem_f=sem_f,
             )
             d8_0 = d8
-            d8, i1, kph, ms, mr, mq, term, diags = jax.lax.fori_loop(
+            d8, i1, kph, bks = jax.lax.fori_loop(
                 0, INNER_ITERS,
                 lambda _i, c: inner(c),
-                (d8, i1, kph, ms, mr, mq, term, diags),
+                (d8, i1, kph, bks),
             )
             if emit_flags:
                 flag_dma(d8_0).start()
-            return (d8, vbase, i1, kph, ms, mr, mq, term, diags)
+            return (d8, vbase, i1, kph, bks)
 
         def body(carry, refs, bufs_a, bufs_b):
             carry = half(carry, refs, bufs_a, bufs_b)
@@ -437,13 +478,14 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             return carry
 
         def _inner(carry, *, r, pr, ro, two_r, blk_first, cs, ce, fake,
-                   prev_fake, tb, sub_m, sub_x, vbase, blk0, hfa, hfb,
-                   fst_r, est_r, qwin_r, qfw, acc_w=None, sem_f=None):
+                   prev_fake, tb, sub_m, sub_x, vbase, blk0, waves_refs,
+                   qfw, acc_w=None, sem_f=None):
             # i1 = sw*floor(D/sw) and kph = D - i1 are carried
             # incrementally: scalar div/rem by a non-power-of-two lowers
             # to an iterative loop whose cost grows with the operand
             # value (measured: O(total_steps^2) end-to-end).
-            d8, i1, kph, ms, mr, mq, term, diags = carry
+            d8, i1, kph, bks = carry
+            bks = [list(bk) for bk in bks]
             D = d8 >> 3
 
             # --- query feed: feed[:, k] = q[qoff + k] for k in [0, 8) ---
@@ -454,40 +496,49 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             qoff = d8 - vbase
             phase = qoff & 127
             off2 = jnp.clip(qoff - phase - blk0, 0, 2 * LANE)
-            feed = qfw[:, pl.ds(pl.multiple_of(off2, LANE), LANE)]
-            if interpret:
-                feed = jnp.roll(feed, -phase, axis=1)
-            else:
-                feed = pltpu.roll(feed, shift=LANE - phase, axis=1)
+            feed = []
+            for i in range(NW):
+                fd = qfw[i][:, pl.ds(pl.multiple_of(off2, LANE), LANE)]
+                if interpret:
+                    fd = jnp.roll(fd, -phase, axis=1)
+                else:
+                    fd = pltpu.roll(fd, shift=LANE - phase, axis=1)
+                feed.append(fd)
 
-            # --- hoisted per-packed-diagonal values ---
+            # --- hoisted per-packed-diagonal values (per wave) ---
             i2 = jnp.where(kph == 0, i1 - sw, i1)
-            ss1, se1 = slice_bounds(i1)
-            ss2, se2 = slice_bounds(i2)
-            insl_a = (pr >= ss1) & (pr <= se1)
-            insl_b = (pr >= ss2) & (pr <= se2)
+            at_ss = kph == 0
             pq_a = D - pr
             pq_b = pq_a - 1
-            # X: in slice+chunk; Y: also chunk-interior (band-exempt)
-            x_a = insl_a & (pq_a >= cs) & (pq_a <= ce)
-            x_b = insl_b & (pq_b >= cs) & (pq_b <= ce)
-            if not noband:
-                y_a = x_a & (pq_a > cs) & (pq_a < ce)
-                y_b = x_b & (pq_b > cs) & (pq_b < ce)
-            cse_a = pq_a == jnp.maximum(cs, i1 - pr)
-            cse_b = pq_b == jnp.maximum(cs, i2 - pr)
             base_qq = d8 - r
             base_band = d8 - two_r
+            hoist = []
+            for i in range(NW):
+                ss1, se1 = slice_bounds(i1, pql[i], prl[i])
+                ss2, se2 = slice_bounds(i2, pql[i], prl[i])
+                insl_a = (pr >= ss1) & (pr <= se1)
+                insl_b = (pr >= ss2) & (pr <= se2)
+                # X: in slice+chunk; Y: also chunk-interior (band-exempt)
+                x_a = insl_a & (pq_a >= cs[i]) & (pq_a <= ce[i])
+                x_b = insl_b & (pq_b >= cs[i]) & (pq_b <= ce[i])
+                if noband:
+                    y_a = y_b = None
+                else:
+                    y_a = x_a & (pq_a > cs[i]) & (pq_a < ce[i])
+                    y_b = x_b & (pq_b > cs[i]) & (pq_b < ce[i])
+                cse_a = pq_a == jnp.maximum(cs[i], i1 - pr)
+                hoist.append((x_a, x_b, y_a, y_b, cse_a))
 
-            # --- empty-slice termination (agatha_kernel.h:189-191);
-            # slices start at multiples of 8*sw which are multiples of 8,
-            # so the check belongs to substep 0 of this iteration.
-            at_ss = kph == 0
-            ss_sl, se_sl = slice_bounds(D)
-            term = jnp.where(
-                (term == 0) & at_ss & (d8 < i_end8) & (ss_sl > se_sl),
-                1, term,
-            )
+                # --- empty-slice termination (agatha_kernel.h:189-191);
+                # slices start at multiples of 8*sw which are multiples
+                # of 8, so the check belongs to substep 0 of this
+                # iteration.
+                ss_sl, se_sl = slice_bounds(D, pql[i], prl[i])
+                bks[i][3] = jnp.where(
+                    (bks[i][3] == 0) & at_ss & (d8 < i_end8[i])
+                    & (ss_sl > se_sl),
+                    1, bks[i][3],
+                )
 
             if emit_flags:
                 acc = jnp.zeros((B, W), _I32)
@@ -500,31 +551,8 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 cls = ro > k
                 ncls = ro <= k
                 qq_ge0 = base_qq >= -k
-                valid = qq_ge0 & (base_qq < qlen - k)
-                if noband:
-                    # bw >= max(W, QF) proves |q - r| <= bw for every
-                    # cell, so the band test and the chunk-interior
-                    # exemption are vacuous: z == x (short-read fast
-                    # path; scores identical by construction)
-                    z_a, z_b = x_a, x_b
-                else:
+                if not noband:
                     in_band = jnp.abs(base_band + k) <= bw
-                    z_a = y_a | (x_a & in_band)
-                    z_b = y_b | (x_b & in_band)
-                C = valid & ((cls & z_b) | (ncls & z_a))
-                # chunk-start lanes have ro == k, i.e. qo == 0, which is
-                # always class a (ro > k is false there)
-                cst = (ro == k) & qq_ge0 & cse_a
-
-                # alternating H-strip roles (see body docstring)
-                hf1_ref, hf2_ref = (hfa, hfb) if k % 2 == 0 else (hfb, hfa)
-
-                # query window: qwin[:, l] = q[d - vbase - l]
-                qwin = jnp.where(
-                    lane0, feed[:, k:k + 1],
-                    _roll1(qwin_r[:, :], interpret=interpret),
-                )
-                qwin_r[:, :] = qwin
 
                 # Lane-0 boundary values.  While vbase == 0, lane 0 is
                 # row 0 and takes the top-boundary init; after the window
@@ -540,92 +568,134 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                     top_h_v = top_h(d - 1)
                     top_e_v = top_e(d)
 
-                # diagonal-H input with strip round-trip / fake-row reload
-                hf1 = hf1_ref[:, :]
-                htl = _roll1(hf2_ref[:, :], interpret=interpret)
-                htl = jnp.where(lane0, top_h_v, htl)
-                if not safe16:
-                    htl = jnp.where(blk_first | cst, _trunc16(htl), htl)
-                htl = jnp.where(cst & prev_fake, minus_inf2, htl)
-                # E input (flows down rows; top strip is int16)
-                est = est_r[:, :]
-                e_in = jnp.where(blk_first, strip16(est), est)
-                e_in = jnp.where(lane0, top_e_v, e_in)
-                # F input (flows along rows; left strip is int16)
-                fst = fst_r[:, :]
-                f_in = jnp.where(cst, strip16(fst), fst)
-                f_in = jnp.where(cst & fake, minus_inf2, f_in)
+                for i in range(NW):
+                    hfa, hfb, fst_r, est_r, qwin_r = waves_refs[i]
+                    x_a, x_b, y_a, y_b, cse_a = hoist[i]
+                    ms, mr, mq, term, diags = bks[i]
+                    valid = qq_ge0 & (base_qq < qlen[i] - k)
+                    if noband:
+                        # bw >= max(W, QF) proves |q - r| <= bw for
+                        # every cell, so the band test and the chunk-
+                        # interior exemption are vacuous: z == x (short-
+                        # read fast path; scores identical by
+                        # construction)
+                        z_a, z_b = x_a, x_b
+                    else:
+                        z_a = y_a | (x_a & in_band)
+                        z_b = y_b | (x_b & in_band)
+                    C = valid & ((cls & z_b) | (ncls & z_a))
+                    # chunk-start lanes have ro == k, i.e. qo == 0, which
+                    # is always class a (ro > k is false there)
+                    cst = (ro == k) & qq_ge0 & cse_a
 
-                # sub_m/sub_x carry the target-side N fold (a target
-                # N never equals a non-N query code, so the equal
-                # branch with t_is_n is unreachable anyway — both
-                # branches then yield -N_PENALTY, keeping exactness)
-                s = jnp.where(qwin == tb, sub_m, sub_x)
-                s = jnp.where(qwin == N_VALUE, -N_PENALTY, s)
-
-                temp = htl + s
-                if emit_flags:
-                    max_te = jnp.maximum(temp, e_in)
-                    h_new = jnp.maximum(max_te, f_in)
-                else:
-                    h_new = jnp.maximum(jnp.maximum(temp, f_in), e_in)
-                tg = temp - goe
-                if emit_flags:
-                    # Source-side traceback nibble (see kernel docstring
-                    # above / ops/walk.py).  Ties: H prefers temp then E
-                    # (strict > tests), gaps prefer open (>=) — matching
-                    # the host engine's conventions (ops/traceback.py).
-                    # Open bits are gated on C: a non-computed cell
-                    # passes its E/F stream through unchanged, which the
-                    # walk treats as an extension.
-                    e_gt = e_in > temp
-                    f_gt = f_in > max_te
-                    src = jnp.where(
-                        f_gt, jnp.int32(2),
-                        jnp.where(e_gt, jnp.int32(1), jnp.int32(0)),
+                    # alternating H-strip roles (see body docstring)
+                    hf1_ref, hf2_ref = (
+                        (hfa, hfb) if k % 2 == 0 else (hfb, hfa)
                     )
-                    e_open = C & (tg >= e_in - ge)
-                    f_open = C & (tg >= f_in - ge)
-                    nib = (
-                        src
-                        | jnp.where(e_open, jnp.int32(4), jnp.int32(0))
-                        | jnp.where(f_open, jnp.int32(8), jnp.int32(0))
-                    )
-                    acc = acc | (nib << (4 * k))
-                fst_r[:, :] = jnp.where(
-                    C, jnp.maximum(tg, f_in - ge), f_in
-                )
-                e_nx = jnp.where(C, jnp.maximum(tg, e_in - ge), e_in)
-                # new hf1 overwrites hf2's slot (its value was consumed
-                # as htl above); old hf1 becomes next substep's hf2 by
-                # the role swap.
-                hf2_ref[:, :] = jnp.where(C, h_new, hf1)
-                est_r[:, :] = _roll1(e_nx, interpret=interpret)
 
-                packed = (h_new << 16) + r
-                packed = jnp.where(C, packed, jnp.int32(INT32_MIN))
-                dmax = jnp.max(packed, axis=1, keepdims=True)
-
-                # --- per-pair bookkeeping (agatha_kernel.h:291-313,
-                # 336-356) ---
-                live = (term == 0) & (d < end_p)
-                gate = live & (
-                    ((d < i_end8) & (d < n_diags)) | (d >= i_end8)
-                )
-                th = dmax >> 16
-                tr = dmax & 0xFFFF
-                dq = d - tr
-                upd = gate & (th > ms)
-                if z >= 0:
-                    zel = gate & ~(th > ms) & (tr >= mr) & (dq >= mq)
-                    gap = jnp.abs((tr - mr) - (dq - mq))
-                    term = jnp.where(
-                        zel & (ms - th > z + gap * ge), 1, term
+                    # query window: qwin[:, l] = q[d - vbase - l]
+                    qwin = jnp.where(
+                        lane0, feed[i][:, k:k + 1],
+                        _roll1(qwin_r[:, :], interpret=interpret),
                     )
-                ms = jnp.where(upd, th, ms)
-                mr = jnp.where(upd, tr, mr)
-                mq = jnp.where(upd, dq, mq)
-                diags = diags + live.astype(_I32)
+                    qwin_r[:, :] = qwin
+
+                    # diagonal-H input with strip round-trip / fake-row
+                    # reload
+                    hf1 = hf1_ref[:, :]
+                    htl = _roll1(hf2_ref[:, :], interpret=interpret)
+                    htl = jnp.where(lane0, top_h_v, htl)
+                    if not safe16:
+                        htl = jnp.where(
+                            blk_first | cst, _trunc16(htl), htl
+                        )
+                    htl = jnp.where(cst & prev_fake[i], minus_inf2, htl)
+                    # E input (flows down rows; top strip is int16)
+                    est = est_r[:, :]
+                    e_in = jnp.where(blk_first, strip16(est), est)
+                    e_in = jnp.where(lane0, top_e_v, e_in)
+                    # F input (flows along rows; left strip is int16)
+                    fst = fst_r[:, :]
+                    f_in = jnp.where(cst, strip16(fst), fst)
+                    f_in = jnp.where(cst & fake[i], minus_inf2, f_in)
+
+                    # sub_m/sub_x carry the target-side N fold (a target
+                    # N never equals a non-N query code, so the equal
+                    # branch with t_is_n is unreachable anyway — both
+                    # branches then yield -N_PENALTY, keeping exactness)
+                    s = jnp.where(qwin == tb[i], sub_m[i], sub_x[i])
+                    s = jnp.where(qwin == N_VALUE, -N_PENALTY, s)
+
+                    temp = htl + s
+                    if emit_flags:
+                        max_te = jnp.maximum(temp, e_in)
+                        h_new = jnp.maximum(max_te, f_in)
+                    else:
+                        h_new = jnp.maximum(
+                            jnp.maximum(temp, f_in), e_in
+                        )
+                    tg = temp - goe
+                    if emit_flags:
+                        # Source-side traceback nibble (see kernel
+                        # docstring above / ops/walk.py).  Ties: H
+                        # prefers temp then E (strict > tests), gaps
+                        # prefer open (>=) — matching the host engine's
+                        # conventions (ops/traceback.py).  Open bits are
+                        # gated on C: a non-computed cell passes its E/F
+                        # stream through unchanged, which the walk
+                        # treats as an extension.
+                        e_gt = e_in > temp
+                        f_gt = f_in > max_te
+                        src = jnp.where(
+                            f_gt, jnp.int32(2),
+                            jnp.where(e_gt, jnp.int32(1), jnp.int32(0)),
+                        )
+                        e_open = C & (tg >= e_in - ge)
+                        f_open = C & (tg >= f_in - ge)
+                        nib = (
+                            src
+                            | jnp.where(e_open, jnp.int32(4),
+                                        jnp.int32(0))
+                            | jnp.where(f_open, jnp.int32(8),
+                                        jnp.int32(0))
+                        )
+                        acc = acc | (nib << (4 * k))
+                    fst_r[:, :] = jnp.where(
+                        C, jnp.maximum(tg, f_in - ge), f_in
+                    )
+                    e_nx = jnp.where(C, jnp.maximum(tg, e_in - ge), e_in)
+                    # new hf1 overwrites hf2's slot (its value was
+                    # consumed as htl above); old hf1 becomes next
+                    # substep's hf2 by the role swap.
+                    hf2_ref[:, :] = jnp.where(C, h_new, hf1)
+                    est_r[:, :] = _roll1(e_nx, interpret=interpret)
+
+                    packed = (h_new << 16) + r
+                    packed = jnp.where(C, packed, jnp.int32(INT32_MIN))
+                    dmax = jnp.max(packed, axis=1, keepdims=True)
+
+                    # --- per-pair bookkeeping (agatha_kernel.h:291-313,
+                    # 336-356) ---
+                    live = (term == 0) & (d < end_p[i])
+                    gate = live & (
+                        ((d < i_end8[i]) & (d < n_diags[i]))
+                        | (d >= i_end8[i])
+                    )
+                    th = dmax >> 16
+                    tr = dmax & 0xFFFF
+                    dq = d - tr
+                    upd = gate & (th > ms)
+                    if z >= 0:
+                        zel = gate & ~(th > ms) & (tr >= mr) & (dq >= mq)
+                        gap = jnp.abs((tr - mr) - (dq - mq))
+                        term = jnp.where(
+                            zel & (ms - th > z + gap * ge), 1, term
+                        )
+                    ms = jnp.where(upd, th, ms)
+                    mr = jnp.where(upd, tr, mr)
+                    mq = jnp.where(upd, dq, mq)
+                    diags = diags + live.astype(_I32)
+                    bks[i] = [ms, mr, mq, term, diags]
 
             if emit_flags:
                 # Stage this packed diagonal's plane in the half's
@@ -639,16 +709,38 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             kph = kph + 1
             wrap = kph >= sw
             return (d8 + 8, jnp.where(wrap, i1 + sw, i1),
-                    jnp.where(wrap, 0, kph), ms, mr, mq, term, diags)
+                    jnp.where(wrap, 0, kph),
+                    tuple(tuple(bk) for bk in bks))
 
-        def run(hfa, hfb, fst_r, est_r, qwin_r, tbw_a, qfw_a, sems_a,
-                tbw_b, qfw_b, sems_b, acc_w=None, sem_f=None):
+        def run(*scratch_refs):
+            # flat layout: NW x (hfa, hfb, fst_r, est_r, qwin_r), then
+            # NW x (tbw_a, qfw_a, sems_a), NW x (tbw_b, qfw_b, sems_b),
+            # then (acc_w, sem_f) when emit_flags.
+            waves_refs = [
+                scratch_refs[i * 5:(i + 1) * 5] for i in range(NW)
+            ]
+            off = NW * 5
+            bufs_a = [
+                scratch_refs[off + i * 3:off + (i + 1) * 3]
+                for i in range(NW)
+            ]
+            off += NW * 3
+            bufs_b = [
+                scratch_refs[off + i * 3:off + (i + 1) * 3]
+                for i in range(NW)
+            ]
+            off += NW * 3
+            acc_w = sem_f = None
+            if emit_flags:
+                acc_w, sem_f = scratch_refs[off:off + 2]
+
             left_h0, left_f0 = boundary_init(lane)
-            hfa[:, :] = left_h0
-            hfb[:, :] = left_h0
-            fst_r[:, :] = left_f0
-            est_r[:, :] = jnp.full((B, W), MINUS_INF2, _I32)
-            qwin_r[:, :] = jnp.zeros((B, W), _I32)  # filled at d=0
+            for hfa, hfb, fst_r, est_r, qwin_r in waves_refs:
+                hfa[:, :] = left_h0
+                hfb[:, :] = left_h0
+                fst_r[:, :] = left_f0
+                est_r[:, :] = jnp.full((B, W), MINUS_INF2, _I32)
+                qwin_r[:, :] = jnp.zeros((B, W), _I32)  # filled at d=0
 
             if emit_flags:
                 # Primer so the first half's wait-before-write has a
@@ -659,65 +751,63 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 acc_ref[0] = acc_w
                 acc_ref[1] = sem_f
                 flag_dma(jnp.int32(0)).start()
-                refs = (hfa, hfb, fst_r, est_r, qwin_r, acc_w, sem_f)
-            else:
-                refs = (hfa, hfb, fst_r, est_r, qwin_r)
-            bufs_a = (tbw_a, qfw_a, sems_a)
-            bufs_b = (tbw_b, qfw_b, sems_b)
+            refs = (waves_refs, acc_w, sem_f)
 
             # prime the first half's windows
             v0, b0 = next_window(jnp.int32(0), jnp.int32(0))
-            p_t, p_q = make_dmas(v0, b0, *bufs_a)
-            p_t.start()
-            p_q.start()
+            for i in range(NW):
+                p_t, p_q = make_dmas(v0, b0, *bufs_a[i], rowb[i])
+                p_t.start()
+                p_q.start()
 
             init = (
                 jnp.int32(0),
                 jnp.int32(0),  # vbase
                 jnp.int32(0),  # i1 = sw*floor(D/sw)
                 jnp.int32(0),  # kph = D - i1
-                zeros,
-                zeros,
-                zeros,
-                zeros,
-                zeros,
+                tuple(
+                    (zeros, zeros, zeros, zeros, zeros)
+                    for _ in range(NW)
+                ),
             )
             final = jax.lax.while_loop(
                 cond,
                 lambda c: body(c, refs, bufs_a, bufs_b),
                 init,
             )
-            d8_f, vb_f, _, _, ms, mr, mq, _, diags = final
+            d8_f, vb_f, _, _, bks = final
             # drain the dangling prefetch (last half prefetched bufs_a)
             nv, nb = next_window(d8_f, vb_f)
-            w_t, w_q = make_dmas(nv, nb, *bufs_a)
-            w_t.wait()
-            w_q.wait()
+            for i in range(NW):
+                w_t, w_q = make_dmas(nv, nb, *bufs_a[i], rowb[i])
+                w_t.wait()
+                w_q.wait()
             if emit_flags:
                 # drain the last half's flag DMA
                 flag_dma(jnp.int32(0)).wait()
-            out_ref[:, 0:1] = ms
-            out_ref[:, 1:2] = mq
-            out_ref[:, 2:3] = mr
-            out_ref[:, 3:4] = diags
+            for i in range(NW):
+                ms, mr, mq, _term, diags = bks[i]
+                sl = slice(None) if NW == 1 else slice(i * B, (i + 1) * B)
+                out_ref[sl, 0:1] = ms
+                out_ref[sl, 1:2] = mq
+                out_ref[sl, 2:3] = mr
+                out_ref[sl, 3:4] = diags
 
-        scratch = dict(
-            hfa=pltpu.VMEM((B, W), _I32),
-            hfb=pltpu.VMEM((B, W), _I32),
-            fst_r=pltpu.VMEM((B, W), _I32),
-            est_r=pltpu.VMEM((B, W), _I32),
-            qwin_r=pltpu.VMEM((B, W), _I32),
-            tbw_a=pltpu.VMEM((B, W), _I32),
-            qfw_a=pltpu.VMEM((B, 3 * LANE), _I32),
-            sems_a=pltpu.SemaphoreType.DMA((2,)),
-            tbw_b=pltpu.VMEM((B, W), _I32),
-            qfw_b=pltpu.VMEM((B, 3 * LANE), _I32),
-            sems_b=pltpu.SemaphoreType.DMA((2,)),
-        )
+        scratch = []
+        for _ in range(NW):
+            scratch += [pltpu.VMEM((B, W), _I32) for _ in range(5)]
+        for _ in range(2 * NW):  # bufs_a then bufs_b
+            scratch += [
+                pltpu.VMEM((B, W), _I32),
+                pltpu.VMEM((B, 3 * LANE), _I32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
         if emit_flags:
-            scratch["acc_w"] = pltpu.VMEM((B, INNER_ITERS * W), _I32)
-            scratch["sem_f"] = pltpu.SemaphoreType.DMA((1,))
-        pl.run_scoped(run, **scratch)
+            scratch += [
+                pltpu.VMEM((B, INNER_ITERS * W), _I32),
+                pltpu.SemaphoreType.DMA((1,)),
+            ]
+        pl.run_scoped(run, *scratch)
 
     return kernel
 
@@ -742,7 +832,7 @@ def pack_nibbles(codes: np.ndarray) -> np.ndarray:
 
 def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
                        interpret, windowed=False, emit_flags=False,
-                       d8_planes=0):
+                       d8_planes=0, n_waves=1):
     """Traceable bucket alignment (call under jit).
 
     With ``emit_flags`` the kernel additionally writes the per-cell
@@ -750,10 +840,17 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
     the call returns ``(out, flags)``; ``d8_planes`` must cover the
     sweep (max packed diagonals + 16 slack planes for the 128-diagonal
     loop-body overshoot — see flag_planes_needed).
+
+    ``n_waves`` > 1 interleaves that many independent pair-blocks per
+    program (short-read latency hiding; see _make_kernel).  Lowered
+    automatically until it divides the bucket.
     """
     gb = tcodes.shape[0]
-    bp = _bp_for(w, windowed, gb)
-    grid = (gb // bp,)
+    nw = max(1, n_waves) if not emit_flags else 1
+    while nw > 1 and gb % (nw * 8):
+        nw //= 2
+    bp = _bp_for(w, windowed, gb // nw)
+    grid = (gb // (nw * bp),)
     # every cell of every pair provably in-band: the band/interior
     # vector masks compile away (short-read fast path)
     noband = (not windowed) and cfg.band_width >= max(w, qf)
@@ -762,11 +859,12 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
         assert w >= wk, (w, wk)
         kernel = _make_kernel(cfg, wk, safe16, interpret,
                               windowed=True, wt=w, b_pairs=bp,
-                              emit_flags=emit_flags)
+                              emit_flags=emit_flags, n_waves=nw)
     else:
         wk = w
         kernel = _make_kernel(cfg, w, safe16, interpret, b_pairs=bp,
-                              noband=noband, emit_flags=emit_flags)
+                              noband=noband, emit_flags=emit_flags,
+                              n_waves=nw)
     # Narrow wire formats: widen on device (host->device bandwidth is
     # the dominant non-compute cost through the serving path).
     meta = meta.astype(_I32)
@@ -781,7 +879,7 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
         else qfwd.astype(_I32)
     )
     out_shape = jax.ShapeDtypeStruct((gb, 4), _I32)
-    out_specs = pl.BlockSpec((bp, 4), lambda g: (g, 0),
+    out_specs = pl.BlockSpec((nw * bp, 4), lambda g: (g, 0),
                              memory_space=pltpu.VMEM)
     if emit_flags:
         assert d8_planes > 0
@@ -799,7 +897,7 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bp, 2), lambda g: (g, 0),
+            pl.BlockSpec((nw * bp, 2), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             # Sequences stay in HBM; the kernel DMAs fixed-size windows
             # into VMEM scratch (slicing big VMEM refs is pathologically
@@ -816,15 +914,32 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "w", "qf", "safe16", "interpret", "windowed",
-                     "emit_flags", "d8_planes"),
+                     "emit_flags", "d8_planes", "n_waves"),
 )
 def _align_bucket_jit(meta, tcodes, qfwd, *, cfg, w, qf, safe16, interpret,
-                      windowed=False, emit_flags=False, d8_planes=0):
+                      windowed=False, emit_flags=False, d8_planes=0,
+                      n_waves=1):
     return _align_bucket_impl(
         meta, tcodes, qfwd, cfg=cfg, w=w, qf=qf, safe16=safe16,
         interpret=interpret, windowed=windowed, emit_flags=emit_flags,
-        d8_planes=d8_planes,
+        d8_planes=d8_planes, n_waves=n_waves,
     )
+
+
+def n_waves_for_width(w: int, windowed: bool = False) -> int:
+    """Independent interleaved pair-blocks per program for lane width w.
+
+    Narrow-width programs are bound by the exposed latency of the
+    chained per-substep rolls, not vector throughput (PERF_NOTES round
+    3: per-substep wall at (B, 256) is ~flat in B at ~556 ns while
+    (8, 1024) runs the same op mix at ~214 ns).  Interleaving
+    independent waves fills the stalled issue slots; wide programs are
+    throughput-bound, so waves would only add VMEM pressure there.
+    Policy is measurement-driven (scripts/wave_probe.py).
+    """
+    if windowed or w >= 1024:
+        return 1
+    return 4 if w <= 256 else 2
 
 
 def flag_planes_needed(meta: np.ndarray, cfg: AlignConfig) -> int:
@@ -856,6 +971,7 @@ def align_bucket(
     *,
     interpret: bool = False,
     force_strips: bool = False,
+    n_waves: int | None = None,
 ) -> jax.Array:
     """Align one shape-uniform bucket of pairs.
 
@@ -892,6 +1008,8 @@ def align_bucket(
     # Sliding-window state when the target is longer than the band
     # window: per-step cost becomes O(band), not O(target_len).
     windowed = w > window_width(cfg)
+    if n_waves is None:
+        n_waves = n_waves_for_width(w, windowed)
     return _align_bucket_jit(
         jnp.asarray(meta, _I32),
         jnp.asarray(tcodes),
@@ -902,6 +1020,7 @@ def align_bucket(
         safe16=safe16,
         interpret=interpret,
         windowed=windowed,
+        n_waves=n_waves,
     )
 
 

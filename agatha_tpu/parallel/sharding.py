@@ -26,6 +26,7 @@ from agatha_tpu.ops.kernel import (
     B_PAIRS,
     _align_bucket_jit,
     int16_safe,
+    n_waves_for_width,
     window_width,
 )
 
@@ -49,6 +50,7 @@ def _align_sharded_jit(meta, tcodes, qfwd, *, cfg, w, qf, mesh, interpret):
         return _align_bucket_jit(
             m, t, q, cfg=cfg, w=w, qf=qf, safe16=safe16,
             interpret=interpret, windowed=windowed,
+            n_waves=n_waves_for_width(w, windowed),
         )
 
     # check_vma=False: pallas_call's out_shape carries no vma metadata.

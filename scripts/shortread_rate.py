@@ -45,7 +45,7 @@ def load_banded_variant():
     return mod
 
 
-def measure(mod, meta, tcodes, qfwd, cfg, n_reads, reps):
+def measure(mod, meta, tcodes, qfwd, cfg, n_reads, reps, n_waves=None):
     import jax.numpy as jnp
 
     # stage ONCE on device: align_bucket's jnp.asarray is then a no-op,
@@ -53,12 +53,13 @@ def measure(mod, meta, tcodes, qfwd, cfg, n_reads, reps):
     meta = jnp.asarray(np.asarray(meta, np.int32))
     tcodes = jnp.asarray(tcodes)
     qfwd = jnp.asarray(qfwd)
-    out = mod.align_bucket(meta, tcodes, qfwd, cfg)
+    kw = {} if n_waves is None else {"n_waves": n_waves}
+    out = mod.align_bucket(meta, tcodes, qfwd, cfg, **kw)
     np.asarray(out)  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [mod.align_bucket(meta, tcodes, qfwd, cfg)
+        outs = [mod.align_bucket(meta, tcodes, qfwd, cfg, **kw)
                 for _ in range(reps)]
         np.asarray(jnp.concatenate(outs))
         best = min(best, (time.perf_counter() - t0) / reps)
@@ -82,10 +83,24 @@ def main():
     print(f"{n_reads} x ~{read_len} bp; bucket w={w} qf={qf}; "
           f"noband eligible: {noband_on}", flush=True)
 
+    # wave sweep (n_waves=1 is the round-3 pre-wave baseline; the
+    # engine default comes from n_waves_for_width)
+    out_w1 = None
+    for nw in (1, 2, 4, 8):
+        rate_w, out_w = measure(kmod, meta, tcodes, qfwd, cfg,
+                                n_reads, reps, n_waves=nw)
+        if out_w1 is None:
+            out_w1 = np.asarray(out_w)
+        else:
+            assert (np.asarray(out_w) == out_w1).all(), \
+                f"n_waves={nw} changed results"
+        print(f"waves={nw}: {rate_w/1e3:8.1f} k reads/s", flush=True)
+
     rate_nb, out_nb = measure(kmod, meta, tcodes, qfwd, cfg,
                               n_reads, reps)
     print(f"noband : {rate_nb/1e3:8.1f} k reads/s (kernel rate, "
-          f"pre-staged, best of 3 x {reps} back-to-back)", flush=True)
+          f"engine default waves, pre-staged, best of 3 x {reps} "
+          f"back-to-back)", flush=True)
 
     banded = load_banded_variant()
     rate_b, out_b = measure(banded, meta, tcodes, qfwd, cfg,
