@@ -81,7 +81,11 @@ def b_pairs_for_width(w: int, windowed: bool = False) -> int:
     (rolls, cross-lane max, scalar bookkeeping) dominate — measured
     ~660 ns/substep at W=128 vs ~215 at W=1024 — so packing more pairs
     into the sublane dimension amortizes them.  Cap the program's lane
-    area at 64 tiles (B*w <= 8192 lanes).
+    area at 64 tiles (B*w <= 8192 lanes) PER WAVE: the
+    n_waves_for_width default (<= 4 at the widths where this cap
+    binds) keeps total program scratch at <= 4x this budget — ~1.7 MB
+    worst case, well inside VMEM; callers forcing larger explicit
+    n_waves own the VMEM math.
     """
     if windowed:
         return B_PAIRS
@@ -437,8 +441,10 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             ro = r & 7
             two_r = r << 1
             blk_first = ro == 0
-            tb, sub_m, sub_x, cs, ce, fake, prev_fake = (
-                [], [], [], [], [], [], []
+            # chunk-start bound: row-derived only, shared by all waves
+            cs = jnp.maximum(0, (pr << 3) - bw) >> 3
+            tb, sub_m, sub_x, ce, fake, prev_fake = (
+                [], [], [], [], [], []
             )
             for i in range(NW):
                 tb_i = use_bufs[i][0][:, :]
@@ -446,7 +452,6 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 tb.append(tb_i)
                 sub_m.append(jnp.where(t_is_n, -N_PENALTY, match))
                 sub_x.append(jnp.where(t_is_n, -N_PENALTY, -mism))
-                cs.append(jnp.maximum(0, (pr << 3) - bw) >> 3)
                 ce.append(
                     jnp.minimum(pql[i] - 1, ((pr << 3) + (7 + bw)) >> 3)
                 )
@@ -519,14 +524,14 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 insl_a = (pr >= ss1) & (pr <= se1)
                 insl_b = (pr >= ss2) & (pr <= se2)
                 # X: in slice+chunk; Y: also chunk-interior (band-exempt)
-                x_a = insl_a & (pq_a >= cs[i]) & (pq_a <= ce[i])
-                x_b = insl_b & (pq_b >= cs[i]) & (pq_b <= ce[i])
+                x_a = insl_a & (pq_a >= cs) & (pq_a <= ce[i])
+                x_b = insl_b & (pq_b >= cs) & (pq_b <= ce[i])
                 if noband:
                     y_a = y_b = None
                 else:
-                    y_a = x_a & (pq_a > cs[i]) & (pq_a < ce[i])
-                    y_b = x_b & (pq_b > cs[i]) & (pq_b < ce[i])
-                cse_a = pq_a == jnp.maximum(cs[i], i1 - pr)
+                    y_a = x_a & (pq_a > cs) & (pq_a < ce[i])
+                    y_b = x_b & (pq_b > cs) & (pq_b < ce[i])
+                cse_a = pq_a == jnp.maximum(cs, i1 - pr)
                 hoist.append((x_a, x_b, y_a, y_b, cse_a))
 
                 # --- empty-slice termination (agatha_kernel.h:189-191);
@@ -846,7 +851,11 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
     automatically until it divides the bucket.
     """
     gb = tcodes.shape[0]
-    nw = max(1, n_waves) if not emit_flags else 1
+    # unsupported combination must fail loudly, not silently degrade
+    # to a single wave (the staging-plane DMA layout is 1 block/program)
+    assert not (emit_flags and n_waves > 1), \
+        "emit_flags does not support multi-wave programs"
+    nw = max(1, n_waves)
     while nw > 1 and gb % (nw * 8):
         nw //= 2
     bp = _bp_for(w, windowed, gb // nw)
@@ -986,6 +995,12 @@ def align_bucket(
       cfg:    alignment parameters (static; triggers recompilation).
       force_strips: keep the int16 strip round-trips even when the
               config is provably int16-safe (testing).
+      interpret: run the Pallas interpreter instead of compiling
+              (CI/debug path; bit-identical to the compiled kernel).
+      n_waves: independent pair-blocks interleaved per program —
+              a pure performance knob, results bit-identical.  None
+              (default) applies the n_waves_for_width policy; explicit
+              values are lowered until they divide the bucket.
 
     tcodes/qfwd may be int8 (codes fit in 4 bits): they are shipped to
     the device narrow and widened there, which matters because host->

@@ -84,8 +84,10 @@ def main():
           f"noband eligible: {noband_on}", flush=True)
 
     # wave sweep (n_waves=1 is the round-3 pre-wave baseline; the
-    # engine default comes from n_waves_for_width)
-    out_w1 = None
+    # engine default comes from n_waves_for_width and its row doubles
+    # as the headline "noband" measurement below — no duplicate run)
+    default_nw = kmod.n_waves_for_width(w, w > kmod.window_width(cfg))
+    out_w1 = rate_nb = out_nb = None
     for nw in (1, 2, 4, 8):
         rate_w, out_w = measure(kmod, meta, tcodes, qfwd, cfg,
                                 n_reads, reps, n_waves=nw)
@@ -94,13 +96,17 @@ def main():
         else:
             assert (np.asarray(out_w) == out_w1).all(), \
                 f"n_waves={nw} changed results"
-        print(f"waves={nw}: {rate_w/1e3:8.1f} k reads/s", flush=True)
-
-    rate_nb, out_nb = measure(kmod, meta, tcodes, qfwd, cfg,
-                              n_reads, reps)
+        mark = "  <- engine default" if nw == default_nw else ""
+        print(f"waves={nw}: {rate_w/1e3:8.1f} k reads/s{mark}",
+              flush=True)
+        if nw == default_nw:
+            rate_nb, out_nb = rate_w, out_w
+    if rate_nb is None:  # default not in the sweep grid
+        rate_nb, out_nb = measure(kmod, meta, tcodes, qfwd, cfg,
+                                  n_reads, reps)
     print(f"noband : {rate_nb/1e3:8.1f} k reads/s (kernel rate, "
-          f"engine default waves, pre-staged, best of 3 x {reps} "
-          f"back-to-back)", flush=True)
+          f"engine default waves={default_nw}, pre-staged, best of "
+          f"3 x {reps} back-to-back)", flush=True)
 
     banded = load_banded_variant()
     rate_b, out_b = measure(banded, meta, tcodes, qfwd, cfg,

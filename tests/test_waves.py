@@ -70,6 +70,21 @@ def test_waves_non_dividing_bucket_lowers(rng):
     assert (got == base).all()
 
 
+def test_waves_partial_lowering(rng):
+    # 16 rows with n_waves=4 lowers 4 -> 2 (not all the way to 1):
+    # the partially-lowered multi-wave path must stay bit-identical.
+    pairs = _pairs(rng, 16, 80, 140)
+    meta, tcodes, qfwd = build_bucket_arrays(pairs, CANON)
+    meta, tcodes, qfwd = meta[:16], tcodes[:16], qfwd[:16]
+    base = np.asarray(
+        align_bucket(meta, tcodes, qfwd, CANON, interpret=True, n_waves=1)
+    )
+    got = np.asarray(
+        align_bucket(meta, tcodes, qfwd, CANON, interpret=True, n_waves=4)
+    )
+    assert (got == base).all()
+
+
 def test_wave_policy_bounds():
     # windowed and wide buckets stay single-wave (throughput-bound);
     # narrow buckets interleave
