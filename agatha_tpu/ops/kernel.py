@@ -1024,7 +1024,11 @@ def align_bucket(
     # window: per-step cost becomes O(band), not O(target_len).
     windowed = w > window_width(cfg)
     if n_waves is None:
-        n_waves = n_waves_for_width(w, windowed)
+        # The interpreter emulates serially — waves cannot hide any
+        # latency there, they only multiply trace size (CI wall time).
+        # Explicit n_waves is always honored (tests/test_waves.py pins
+        # interpret-mode bit-identity for every wave variant).
+        n_waves = 1 if interpret else n_waves_for_width(w, windowed)
     return _align_bucket_jit(
         jnp.asarray(meta, _I32),
         jnp.asarray(tcodes),

@@ -47,10 +47,12 @@ def _align_sharded_jit(meta, tcodes, qfwd, *, cfg, w, qf, mesh, interpret):
     windowed = w > window_width(cfg)
 
     def local(m, t, q):
+        # waves hide shuffle latency only on real hardware; the
+        # interpreter would just trace a bigger body (see align_bucket)
+        nw = 1 if interpret else n_waves_for_width(w, windowed)
         return _align_bucket_jit(
             m, t, q, cfg=cfg, w=w, qf=qf, safe16=safe16,
-            interpret=interpret, windowed=windowed,
-            n_waves=n_waves_for_width(w, windowed),
+            interpret=interpret, windowed=windowed, n_waves=nw,
         )
 
     # check_vma=False: pallas_call's out_shape carries no vma metadata.
