@@ -202,9 +202,9 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
     # metadata rows — a pure program-order transform; results are
     # bit-identical to n_waves independent programs.  The windowed
     # variant is wave-capable too (the shift DECISION is pure in d8 so
-    # it is shared; only the state shifts replicate); emit_flags is
-    # not — its staging-plane DMA layout assumes one block per program.
-    assert n_waves == 1 or not emit_flags
+    # it is shared; only the state shifts replicate), as is emit_flags
+    # (each wave stages and DMAs its own flag planes to its own bitmap
+    # row range, so the walk kernel sees an identical bitmap).
     wt = W if wt is None else wt
     sw, bw, z = cfg.slice_width, cfg.band_width, cfg.z_threshold
     goe, ge = cfg.gap_oe, cfg.gap_extend
@@ -240,7 +240,10 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
         # (0 diag / 1 E / 2 F) at THIS cell, bit 2 "E(r+1,c) opened from
         # temp(r,c)", bit 3 "F(r,c+1) opened from temp(r,c)".
         flags_ref = maybe_flags[0] if emit_flags else None
-        acc_ref = [None, None]  # [staging VMEM ref, DMA sem] (set in run)
+        # per-wave [staging VMEM refs, DMA sems] (set in run): each
+        # wave stages its own 8 planes and DMAs them to its own row
+        # range of the bitmap, so waves never share a staging buffer
+        acc_ref = [[None] * NW, [None] * NW]
         # tcodes_ref/qfwd_ref are FULL (GB, ...) refs left in HBM/ANY:
         # slicing big VMEM refs costs proportionally to their total
         # width on this hardware, so sequence windows are DMA'd into
@@ -328,18 +331,19 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             blk0 = jnp.clip(qoff0 - (qoff0 & 127), 0, qf_len - 3 * LANE)
             return vbase, blk0
 
-        def flag_dma(d8):
-            # this half's 8 staged planes -> HBM rows [d8/8, d8/8 + 8)
+        def flag_dma(d8, i=0):
+            # wave i's 8 staged planes -> HBM plane rows [d8/8, d8/8+8)
+            # of that wave's pair rows
             if not emit_flags:
                 return None
             return pltpu.make_async_copy(
-                acc_ref[0],
+                acc_ref[0][i],
                 flags_ref.at[
-                    pl.ds(rowb[0], B),
+                    pl.ds(rowb[i], B),
                     pl.ds(pl.multiple_of((d8 >> 3) * W, LANE),
                           INNER_ITERS * W),
                 ],
-                acc_ref[1].at[0],
+                acc_ref[1][i].at[0],
             )
 
         def make_dmas(vbase, blk0, tbw, qfw, sems, rowb_w):
@@ -376,9 +380,10 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 cp_t.wait()
                 cp_q.wait()
             if emit_flags:
-                # previous half's flag-plane DMA (or the primer) must
-                # complete before this half overwrites the staging buf
-                flag_dma(d8).wait()
+                # previous half's flag-plane DMAs (or the primers) must
+                # complete before this half overwrites the staging bufs
+                for i in range(NW):
+                    flag_dma(d8, i).wait()
 
             if windowed:
                 # --- window shift: rows [vbase_prev, vbase) can never
@@ -474,7 +479,8 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 (d8, i1, kph, bks),
             )
             if emit_flags:
-                flag_dma(d8_0).start()
+                for i in range(NW):
+                    flag_dma(d8_0, i).start()
             return (d8, vbase, i1, kph, bks)
 
         def body(carry, refs, bufs_a, bufs_b):
@@ -546,7 +552,7 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 )
 
             if emit_flags:
-                acc = jnp.zeros((B, W), _I32)
+                acc = [jnp.zeros((B, W), _I32) for _ in range(NW)]
 
             for k in range(8):
                 d = d8 + k
@@ -664,7 +670,7 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                             | jnp.where(f_open, jnp.int32(8),
                                         jnp.int32(0))
                         )
-                        acc = acc | (nib << (4 * k))
+                        acc[i] = acc[i] | (nib << (4 * k))
                     fst_r[:, :] = jnp.where(
                         C, jnp.maximum(tg, f_in - ge), f_in
                     )
@@ -703,13 +709,15 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                     bks[i] = [ms, mr, mq, term, diags]
 
             if emit_flags:
-                # Stage this packed diagonal's plane in the half's
+                # Stage this packed diagonal's plane in each wave's
                 # 8-plane buffer (slot = D mod 8; halves are 8 packed
                 # diagonals, so slots never collide within a half).  The
                 # DMA to HBM happens once per half — DMA ops inside this
                 # loop cost ~3x kernel compile time (measured round 3).
                 slot = D & 7
-                acc_w[:, pl.ds(pl.multiple_of(slot * W, LANE), W)] = acc
+                for i in range(NW):
+                    acc_w[i][:, pl.ds(pl.multiple_of(slot * W, LANE),
+                                      W)] = acc[i]
 
             kph = kph + 1
             wrap = kph >= sw
@@ -720,7 +728,7 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
         def run(*scratch_refs):
             # flat layout: NW x (hfa, hfb, fst_r, est_r, qwin_r), then
             # NW x (tbw_a, qfw_a, sems_a), NW x (tbw_b, qfw_b, sems_b),
-            # then (acc_w, sem_f) when emit_flags.
+            # then NW x (acc_w, sem_f) when emit_flags.
             waves_refs = [
                 scratch_refs[i * 5:(i + 1) * 5] for i in range(NW)
             ]
@@ -737,7 +745,8 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
             off += NW * 3
             acc_w = sem_f = None
             if emit_flags:
-                acc_w, sem_f = scratch_refs[off:off + 2]
+                acc_w = list(scratch_refs[off:off + 2 * NW:2])
+                sem_f = list(scratch_refs[off + 1:off + 2 * NW:2])
 
             left_h0, left_f0 = boundary_init(lane)
             for hfa, hfb, fst_r, est_r, qwin_r in waves_refs:
@@ -748,14 +757,15 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 qwin_r[:, :] = jnp.zeros((B, W), _I32)  # filled at d=0
 
             if emit_flags:
-                # Primer so the first half's wait-before-write has a
+                # Primers so the first half's wait-before-write has a
                 # completion to consume.  The (uninitialized) staging
-                # buffer lands in planes 0-7, which the first real half
-                # DMA overwrites strictly afterwards (it starts only
-                # after this copy's completion is consumed).
+                # buffers land in planes 0-7, which the first real half
+                # DMAs overwrite strictly afterwards (each starts only
+                # after its primer's completion is consumed).
                 acc_ref[0] = acc_w
                 acc_ref[1] = sem_f
-                flag_dma(jnp.int32(0)).start()
+                for i in range(NW):
+                    flag_dma(jnp.int32(0), i).start()
             refs = (waves_refs, acc_w, sem_f)
 
             # prime the first half's windows
@@ -788,8 +798,9 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 w_t.wait()
                 w_q.wait()
             if emit_flags:
-                # drain the last half's flag DMA
-                flag_dma(jnp.int32(0)).wait()
+                # drain the last half's flag DMAs
+                for i in range(NW):
+                    flag_dma(jnp.int32(0), i).wait()
             for i in range(NW):
                 ms, mr, mq, _term, diags = bks[i]
                 sl = slice(None) if NW == 1 else slice(i * B, (i + 1) * B)
@@ -808,10 +819,11 @@ def _make_kernel(cfg: AlignConfig, W: int, safe16: bool, interpret: bool,
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         if emit_flags:
-            scratch += [
-                pltpu.VMEM((B, INNER_ITERS * W), _I32),
-                pltpu.SemaphoreType.DMA((1,)),
-            ]
+            for _ in range(NW):
+                scratch += [
+                    pltpu.VMEM((B, INNER_ITERS * W), _I32),
+                    pltpu.SemaphoreType.DMA((1,)),
+                ]
         pl.run_scoped(run, *scratch)
 
     return kernel
@@ -851,10 +863,6 @@ def _align_bucket_impl(meta, tcodes, qfwd, *, cfg, w, qf, safe16,
     automatically until it divides the bucket.
     """
     gb = tcodes.shape[0]
-    # unsupported combination must fail loudly, not silently degrade
-    # to a single wave (the staging-plane DMA layout is 1 block/program)
-    assert not (emit_flags and n_waves > 1), \
-        "emit_flags does not support multi-wave programs"
     nw = max(1, n_waves)
     while nw > 1 and gb % (nw * 8):
         nw //= 2

@@ -383,12 +383,17 @@ def align_bucket_traceback(
         x = jnp.asarray(x)
         return x if device is None else jax.device_put(x, device)
 
+    from agatha_tpu.ops.kernel import n_waves_for_width
+
     out, flags = _align_bucket_jit(
         stage(np.asarray(meta, np.int32)),
         stage(tcodes),
         stage(qfwd),
         cfg=cfg, w=w, qf=qf, safe16=safe16, interpret=interpret,
         windowed=windowed, emit_flags=True, d8_planes=planes,
+        # flag emission is wave-capable: each wave DMAs its own bitmap
+        # rows; the interpreter gains nothing from waves (see kernel)
+        n_waves=1 if interpret else n_waves_for_width(w, windowed),
     )
     vbases = stage(vbase_schedule(planes, cfg, w))
     w_state = min(w, window_width(cfg)) if windowed else w

@@ -113,6 +113,46 @@ def test_waves_windowed_bit_identical(rng):
     assert (got == base).all()
 
 
+def test_waves_emit_flags_bitmap_identical(rng):
+    # each wave DMAs its own flag planes to its own bitmap rows, so
+    # (results, bitmap, CIGAR move words) must all match single-wave
+    import jax.numpy as jnp
+
+    from agatha_tpu.ops.kernel import _align_bucket_jit, flag_planes_needed
+    from agatha_tpu.ops.walk import align_bucket_traceback
+
+    pairs = _pairs(rng, 16, 80, 200)
+    meta, tcodes, qfwd = build_bucket_arrays(pairs, CANON)
+    w = tcodes.shape[1] * (2 if tcodes.dtype == np.uint8 else 1)
+    qf = qfwd.shape[1] * (2 if qfwd.dtype == np.uint8 else 1)
+    planes = flag_planes_needed(meta, CANON)
+    outs, bitmaps = {}, {}
+    for nw in (1, 2):
+        o, f = _align_bucket_jit(
+            jnp.asarray(meta, jnp.int32), jnp.asarray(tcodes),
+            jnp.asarray(qfwd), cfg=CANON, w=w, qf=qf, safe16=True,
+            interpret=True, emit_flags=True, d8_planes=planes,
+            n_waves=nw,
+        )
+        outs[nw], bitmaps[nw] = np.asarray(o), np.asarray(f)
+    assert (outs[1] == outs[2]).all()
+    # compare only the planes a pair actually swept: slack planes past
+    # each pair's own sweep hold whatever the staging buffer last held
+    # (never read by the walk)
+    pql = -(-meta[:, 0] // 8)
+    prl = -(-meta[:, 1] // 8)
+    i_end = -(-(pql + prl - 1) // CANON.slice_width) * CANON.slice_width
+    b1 = bitmaps[1].reshape(meta.shape[0], planes, -1)
+    b2 = bitmaps[2].reshape(meta.shape[0], planes, -1)
+    for p in range(meta.shape[0]):
+        lim = int(i_end[p]) + 1
+        assert (b1[p, :lim] == b2[p, :lim]).all(), f"pair {p}"
+    # end-to-end: the full device-traceback pipeline agrees as well
+    o1, w1 = align_bucket_traceback(meta, tcodes, qfwd, CANON,
+                                    interpret=True)
+    assert (np.asarray(o1) == outs[1]).all()
+
+
 def test_waves_strict_strip_path(rng):
     # force_strips exercises the int16 strip round-trips under waves
     pairs = _pairs(rng, 16, 60, 200)
