@@ -946,17 +946,22 @@ def _align_bucket_jit(meta, tcodes, qfwd, *, cfg, w, qf, safe16, interpret,
 def n_waves_for_width(w: int, windowed: bool = False) -> int:
     """Independent interleaved pair-blocks per program for lane width w.
 
-    Narrow-width programs are bound by the exposed latency of the
-    chained per-substep rolls, not vector throughput (PERF_NOTES round
-    3: per-substep wall at (B, 256) is ~flat in B at ~556 ns while
-    (8, 1024) runs the same op mix at ~214 ns).  Interleaving
-    independent waves fills the stalled issue slots; wide programs are
-    throughput-bound, so waves would only add VMEM pressure there.
-    Policy is measurement-driven (scripts/wave_probe.py).
+    Measured policy: ALWAYS 1.  The interleaving hypothesis (narrow
+    widths are roll-latency-bound, so interleaving independent waves
+    should fill the stalled issue slots) held on timing-faithful
+    mini-kernels (scripts/wave_probe.py: wave2 -10.6%/substep at
+    (32, 256)) but REGRESSES on the production kernel
+    (scripts/shortread_rate.py wave sweep on v5e: 150 bp 166.7 k
+    reads/s at waves=1 vs 146.5 k at 2 / 144.6 k at 4; 400 bp 40.8 k
+    vs 36.2 k at 2) — the production per-wave replication (metadata
+    decode, qfwd window staging, strip16, per-wave output/bookkeeping
+    state) costs more than the latency win, and Mosaic evidently finds
+    enough cross-substep overlap on its own.  See PERF_NOTES round 3.
+    The mechanism stays (explicit ``n_waves`` is honored and tested
+    bit-identical) for future stacks where the trade-off flips.
     """
-    if windowed or w >= 1024:
-        return 1
-    return 4 if w <= 256 else 2
+    del w, windowed
+    return 1
 
 
 def flag_planes_needed(meta: np.ndarray, cfg: AlignConfig) -> int:

@@ -83,8 +83,8 @@ def main():
     print(f"{n_reads} x ~{read_len} bp; bucket w={w} qf={qf}; "
           f"noband eligible: {noband_on}", flush=True)
 
-    # wave sweep (n_waves=1 is the round-3 pre-wave baseline; the
-    # engine default comes from n_waves_for_width and its row doubles
+    # wave sweep (the engine default comes from n_waves_for_width —
+    # single-wave since the round-3 refutation — and its row doubles
     # as the headline "noband" measurement below — no duplicate run)
     default_nw = kmod.n_waves_for_width(w, w > kmod.window_width(cfg))
     out_w1 = rate_nb = out_nb = None

@@ -3,9 +3,10 @@
 n_waves > 1 runs independent pair-blocks inside one program with their
 substeps interleaved (short-read latency hiding, PERF_NOTES round 3).
 Results must be bit-identical to the single-wave kernel for every wave
-count, bucket size, and config class.  The default engine path already
-exercises waves implicitly (n_waves_for_width picks > 1 for narrow
-buckets); these tests pin the equivalence explicitly.
+count, bucket size, and config class.  The production policy is
+single-wave everywhere (the interleave measured as a regression on the
+real kernel — see n_waves_for_width), so these tests are what keep the
+explicit multi-wave mechanism correct.
 """
 
 import numpy as np
@@ -86,12 +87,13 @@ def test_waves_partial_lowering(rng):
 
 
 def test_wave_policy_bounds():
-    # windowed and wide buckets stay single-wave (throughput-bound);
-    # narrow buckets interleave
+    # measured policy (PERF_NOTES round 3): single-wave EVERYWHERE —
+    # production waves regressed 12-13% at the narrow widths the
+    # hypothesis targeted, despite the mini-probe win
     assert n_waves_for_width(window_width(CANON) + 128, windowed=True) == 1
     assert n_waves_for_width(1024) == 1
-    assert n_waves_for_width(256) > 1
-    assert n_waves_for_width(512) > 1
+    assert n_waves_for_width(256) == 1
+    assert n_waves_for_width(512) == 1
 
 
 def test_waves_windowed_bit_identical(rng):
