@@ -179,7 +179,6 @@ def _make_walk_kernel(Bw: int, W: int, P: int, NW: int):
 
     def kernel(vb_ref, ends_ref, flags_ref, out_ref):
         rowb = pl.multiple_of(pl.program_id(0) * Bw, Bw)
-        lane_iota = jax.lax.broadcasted_iota(_I32, (Bw, W), 1)
         w128 = jax.lax.broadcasted_iota(_I32, (Bw, 128), 1)
 
         def plane_dma(buf, p, sem):
@@ -199,6 +198,8 @@ def _make_walk_kernel(Bw: int, W: int, P: int, NW: int):
                            pl.ds(pl.multiple_of(jb * 128, 128), 128)],
                 sem,
             )
+
+        lane_iota = jax.lax.broadcasted_iota(_I32, (Bw, W), 1)
 
         def substeps(plane, p8, carry):
             r, c, st, word = carry
@@ -318,9 +319,19 @@ def _walk_pallas_jit(flags, vbases, ends, *, planes, w_state):
     (half, GB) convention as _walk_jit (padding rows are all-zero,
     which decoders treat as inactive steps)."""
     GB = flags.shape[0]
+    # Grid programs run SEQUENTIALLY on the core and the walk's
+    # per-substep wall is dominated by fixed per-substep overhead (the
+    # ablation probe scripts/walk_probe.py measures the extraction
+    # reduce and the move logic each at ~7% — removing either changes
+    # nothing), so total wall ~ (GB/Bw) * planes * substep latency:
+    # the widest program that fits VMEM minimizes the number of serial
+    # substeps (measured isolated: Bw 64 -> 256 on 256 x 10 kb is
+    # 50.3 -> 35.3 ms, 1.42x).  VMEM: two (Bw, W) plane buffers + the
+    # (Bw, 128) word tile.
     Bw = 8
-    for cand in (64, 32, 16, 8):
-        if GB % cand == 0:
+    vmem_budget = 8 << 20
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if GB % cand == 0 and 2 * cand * w_state * 4 <= vmem_budget:
             Bw = cand
             break
     n_rows = planes + 1
