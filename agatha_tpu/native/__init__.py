@@ -101,7 +101,7 @@ def _load():
         ]
         lib.agatha_traceback_batch.restype = ctypes.c_int
         lib.agatha_moves_to_cigars.argtypes = [
-            p32, i64, i64, ctypes.c_char_p, i64, i32,
+            p32, i64, i64, ctypes.c_char_p, i64, p64, i32,
         ]
         lib.agatha_moves_to_cigars.restype = ctypes.c_int
         _lib = lib
@@ -362,27 +362,30 @@ def moves_to_cigars_batch(
     lib = _load()
     if lib is None:
         return None
-    words = np.ascontiguousarray(words, np.int32)
+    words = np.asarray(words, np.int32)
     half, gb = words.shape
     if gb == 0:
         return []
+    # transpose to pair-major so the C++ loop streams each pair's
+    # words sequentially (decoding the device layout directly strides
+    # gb*4 bytes per word — every access a cache miss)
+    wt = np.ascontiguousarray(words.T)
     # worst case: alternating ops, "1X" per move = 2 bytes + NUL
     per_cap = int(2 * 16 * half + 16)
-    out = np.zeros((gb, per_cap), np.uint8)
+    out = np.empty((gb, per_cap), np.uint8)
+    lens = np.empty(gb, np.int64)
     rc = lib.agatha_moves_to_cigars(
-        words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        wt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int64(half), ctypes.c_int64(gb),
         out.ctypes.data_as(ctypes.c_char_p), ctypes.c_int64(per_cap),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int32(n_threads),
     )
     if rc != 0:
         raise RuntimeError(f"native moves_to_cigars rc={rc}")
-    res = []
-    for b in range(gb):
-        row = out[b]
-        end = int(np.argmin(row)) if row[-1] == 0 else per_cap
-        res.append(row[:end].tobytes().decode("ascii"))
-    return res
+    return [
+        out[b, : lens[b]].tobytes().decode("ascii") for b in range(gb)
+    ]
 
 
 def pack_nibbles_rows(codes: np.ndarray,

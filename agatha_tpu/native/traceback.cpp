@@ -665,16 +665,21 @@ int agatha_traceback_batch(const uint8_t* qblob, const int64_t* qoff,
 // ---------------------------------------------------------------------------
 // Device-walk move-word decoding (engine 3 companion, see ops/walk.py).
 //
-// `words` is the (half, gb) int32 array the on-device walk produces:
-// scan row i covers flag plane P-1-i (8 base antidiagonals, one 2-bit
+// `words` is the device walk's packed move stream TRANSPOSED to
+// pair-major (gb, half) — the walk emits (half, gb), and decoding in
+// that layout strides gb*4 bytes per word, turning every access into
+// a cache miss (measured ~2.5x slower); the Python wrapper transposes
+// once (one cheap contiguous copy) so this loop streams sequentially.
+// Scan row i covers flag plane P-1-i (8 base antidiagonals, one 2-bit
 // move per bit-pair, substep k in bits 2k, k = 7 first in path order),
 // and two 16-bit scan rows are packed per int32 (low half = earlier
 // scan row).  Moves run path END -> START; emitting start -> end means
 // iterating packed rows backward, high half first, k ascending.
-// Move codes: 0 none, 1 M, 2 D, 3 I.
+// Move codes: 0 none, 1 M, 2 D, 3 I.  `lens_out[b]` receives each
+// CIGAR's byte length so the caller needn't scan for the NUL.
 extern "C" int agatha_moves_to_cigars(const int32_t* words, int64_t half,
                                       int64_t gb, char* cigars_out,
-                                      int64_t per_cap,
+                                      int64_t per_cap, int64_t* lens_out,
                                       int32_t n_threads) {
   if (n_threads <= 0) {
     n_threads = (int32_t)std::thread::hardware_concurrency();
@@ -699,8 +704,27 @@ extern "C" int agatha_moves_to_cigars(const int32_t* words, int64_t half,
         memcpy(out + pos, buf, wrote);
         pos += wrote;
       };
+      const int32_t* wrow = words + b * half;
       for (int64_t i = half - 1; i >= 0 && !overflow; --i) {
-        const uint32_t w = (uint32_t)words[i * gb + b];
+        const uint32_t w = (uint32_t)wrow[i];
+        if (w == 0) continue;  // fully inactive word (path padding)
+        // Fast path: a word whose 16 slots hold only M (01) or none
+        // (00) has no high bits set (D=10, I=11).  All its moves are
+        // M regardless of position, so they extend/open one M run of
+        // popcount(w) — one op instead of 16 slot iterations.  M
+        // dominates real alignments, so most words take this path.
+        if ((w & 0xAAAAAAAAu) == 0) {
+          const int cnt = __builtin_popcount(w);
+          if (run_op == 1) {
+            run_len += cnt;
+          } else {
+            flush();
+            if (overflow) break;
+            run_op = 1;
+            run_len = cnt;
+          }
+          continue;
+        }
         for (int sub = 1; sub >= 0; --sub) {  // high 16 bits first
           uint32_t row = (w >> (16 * sub)) & 0xFFFFu;
           for (int k = 0; k < 8; ++k) {
@@ -721,6 +745,7 @@ extern "C" int agatha_moves_to_cigars(const int32_t* words, int64_t half,
       flush();
       if (overflow) { rcs[tid] = -1; continue; }
       out[pos] = '\0';
+      lens_out[b] = pos;
     }
   };
   if (n_threads == 1) {
