@@ -417,6 +417,25 @@ class AlignEngine:
                 idx, b.meta[lo:hi], b.tcodes[lo:hi], b.qfwd[lo:hi]
             )
 
+    def _decode_words(self, w: np.ndarray) -> list[str]:
+        """One bucket's packed move words -> CIGAR strings.
+
+        Runs on the collect path's worker thread so the (GIL-free)
+        native RLE decode overlaps the next bucket's word fetch and
+        the chip's remaining bucket queue.
+        """
+        from agatha_tpu import native
+        from agatha_tpu.ops.walk import decode_moves, moves_to_cigar
+
+        bc = native.moves_to_cigars_batch(
+            w, n_threads=self.engine_cfg.cpu_threads
+        )
+        if bc is None:  # no toolchain: NumPy fallback
+            moves = decode_moves(w)
+            bc = [moves_to_cigar(moves[k])
+                  for k in range(moves.shape[0])]
+        return bc
+
     def _collect(
         self, encoded, buckets, pending, t0, *,
         traceback: bool, per_bucket_times: bool = False,
@@ -430,7 +449,13 @@ class AlignEngine:
 
         n = len(encoded)
         device_tb = bool(pending) and isinstance(pending[0], tuple)
-        words_np: list[np.ndarray] | None = None
+        tb_futs: list | None = None
+        tb_pool = None
+        if device_tb:
+            from concurrent.futures import ThreadPoolExecutor
+
+            tb_pool = ThreadPoolExecutor(max_workers=1)
+            tb_futs = []
         bucket_ms: list[float] | None = None
         if per_bucket_times:
             # Sequential per-bucket fetches in dispatch order: bucket
@@ -442,12 +467,14 @@ class AlignEngine:
             # replaces the device-side concat.
             bucket_ms = []
             outs = []
-            words_np = [] if device_tb else None
             tprev = time.perf_counter()
             for p in pending:
                 if device_tb:
                     outs.append(np.asarray(p[0]))
-                    words_np.append(np.asarray(p[1]))
+                    tb_futs.append(
+                        tb_pool.submit(self._decode_words,
+                                       np.asarray(p[1]))
+                    )
                 else:
                     outs.append(np.asarray(p))
                 tnow = time.perf_counter()
@@ -455,35 +482,22 @@ class AlignEngine:
                 tprev = tnow
             all_out = np.concatenate(outs) if len(outs) > 1 else outs[0]
         elif device_tb:
-            # One flat device concat + one fetch for scores AND move
-            # words (per-array fetches pay the tunnel round-trip floor
-            # each; the word blobs are tiny next to it).  With buckets
-            # round-robined across local devices, arrays cannot be
-            # concatenated on-device — fetch per array instead (one
-            # host round-trip per bucket, amortized across chips).
-            outs_d = [p[0] for p in pending]
-            words_d = [p[1] for p in pending]
-            devs = {next(iter(o.devices())) for o in outs_d}
-            if len(devs) > 1:
-                words_np = [np.asarray(w) for w in words_d]
-                all_out = np.concatenate(
-                    [np.asarray(o) for o in outs_d]
+            # Per-bucket fetch + pipelined decode: bucket i's word
+            # fetch returns as soon as ITS walk finishes (the chip is
+            # still scoring/walking buckets > i, so the per-fetch
+            # tunnel round-trips hide under device compute) and the
+            # native RLE decode runs on a worker thread (a GIL-free
+            # ctypes call) while the main thread blocks on the next
+            # fetch.  The old all-at-once blob fetch serialized fetch
+            # AND decode after the last bucket — measured ~0.3 s of
+            # un-overlapped host tail per 1024 x 10 kb.
+            outs = []
+            for p in pending:
+                outs.append(np.asarray(p[0]))
+                tb_futs.append(
+                    tb_pool.submit(self._decode_words, np.asarray(p[1]))
                 )
-            else:
-                shapes = [w.shape for w in words_d]
-                flat = jnp.concatenate(
-                    [o.reshape(-1) for o in outs_d]
-                    + [w.reshape(-1) for w in words_d]
-                )
-                blob = np.asarray(flat)
-                o_rows = sum(o.shape[0] for o in outs_d)
-                all_out = blob[: o_rows * 4].reshape(o_rows, 4)
-                words_np = []
-                off = o_rows * 4
-                for shp in shapes:
-                    sz = shp[0] * shp[1]
-                    words_np.append(blob[off : off + sz].reshape(shp))
-                    off += sz
+            all_out = np.concatenate(outs) if len(outs) > 1 else outs[0]
         elif len(pending) > 1:
             all_out = np.asarray(jnp.concatenate(pending, axis=0))
         else:
@@ -511,21 +525,14 @@ class AlignEngine:
         ms = (time.perf_counter() - t0) * 1e3
         cigars = None
         if traceback and device_tb:
-            from agatha_tpu import native
             from agatha_tpu.ops.traceback import never_updated_indices
-            from agatha_tpu.ops.walk import decode_moves, moves_to_cigar
 
             cigars = [None] * n
-            for b, w in zip(buckets, words_np):
-                bc = native.moves_to_cigars_batch(
-                    w, n_threads=self.engine_cfg.cpu_threads
-                )
-                if bc is None:  # no toolchain: NumPy fallback
-                    moves = decode_moves(w)
-                    bc = [moves_to_cigar(moves[k])
-                          for k in range(moves.shape[0])]
+            for b, fut in zip(buckets, tb_futs):
+                bc = fut.result()
                 for k, idx in enumerate(b.indices):
                     cigars[idx] = bc[k]
+            tb_pool.shutdown(wait=False)
             for i in never_updated_indices(
                 encoded, scores, qends, tends, self.cfg
             ):
