@@ -440,9 +440,19 @@ class AlignEngine:
         self, encoded, buckets, pending, t0, *,
         traceback: bool, per_bucket_times: bool = False,
     ) -> AlignmentResult:
-        """Fetch dispatched results (ONE device-side concat + a single
-        fetch unless per-bucket timing is on — per-fetch round-trip
-        latency dominates otherwise), reorder, and run traceback."""
+        """Fetch dispatched results, reorder, and run traceback.
+
+        Score-only: one device-side concat + a single fetch (per-fetch
+        round-trip latency dominates otherwise).  Device traceback:
+        per-bucket fetch + pipelined decode — bucket i's word fetch
+        returns as soon as ITS walk finishes (the chip is still
+        scoring/walking buckets > i, so the per-fetch tunnel
+        round-trips hide under device compute) and the native RLE
+        decode runs on a worker thread (a GIL-free ctypes call) while
+        the main thread blocks on the next fetch.  An all-at-once blob
+        fetch here measured ~0.3 s of un-overlapped host tail per
+        1024 x 10 kb.
+        """
         import time
 
         import jax.numpy as jnp
@@ -456,6 +466,16 @@ class AlignEngine:
 
             tb_pool = ThreadPoolExecutor(max_workers=1)
             tb_futs = []
+
+        def fetch_one(p):
+            if device_tb:
+                outs.append(np.asarray(p[0]))
+                tb_futs.append(
+                    tb_pool.submit(self._decode_words, np.asarray(p[1]))
+                )
+            else:
+                outs.append(np.asarray(p))
+
         bucket_ms: list[float] | None = None
         if per_bucket_times:
             # Sequential per-bucket fetches in dispatch order: bucket
@@ -469,34 +489,15 @@ class AlignEngine:
             outs = []
             tprev = time.perf_counter()
             for p in pending:
-                if device_tb:
-                    outs.append(np.asarray(p[0]))
-                    tb_futs.append(
-                        tb_pool.submit(self._decode_words,
-                                       np.asarray(p[1]))
-                    )
-                else:
-                    outs.append(np.asarray(p))
+                fetch_one(p)
                 tnow = time.perf_counter()
                 bucket_ms.append((tnow - tprev) * 1e3)
                 tprev = tnow
             all_out = np.concatenate(outs) if len(outs) > 1 else outs[0]
         elif device_tb:
-            # Per-bucket fetch + pipelined decode: bucket i's word
-            # fetch returns as soon as ITS walk finishes (the chip is
-            # still scoring/walking buckets > i, so the per-fetch
-            # tunnel round-trips hide under device compute) and the
-            # native RLE decode runs on a worker thread (a GIL-free
-            # ctypes call) while the main thread blocks on the next
-            # fetch.  The old all-at-once blob fetch serialized fetch
-            # AND decode after the last bucket — measured ~0.3 s of
-            # un-overlapped host tail per 1024 x 10 kb.
             outs = []
             for p in pending:
-                outs.append(np.asarray(p[0]))
-                tb_futs.append(
-                    tb_pool.submit(self._decode_words, np.asarray(p[1]))
-                )
+                fetch_one(p)
             all_out = np.concatenate(outs) if len(outs) > 1 else outs[0]
         elif len(pending) > 1:
             all_out = np.asarray(jnp.concatenate(pending, axis=0))

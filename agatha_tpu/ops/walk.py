@@ -328,10 +328,14 @@ def _walk_pallas_jit(flags, vbases, ends, *, planes, w_state):
     # substeps (measured isolated: Bw 64 -> 256 on 256 x 10 kb is
     # 50.3 -> 35.3 ms, 1.42x).  VMEM: two (Bw, W) plane buffers + the
     # (Bw, 128) word tile.
+    # budget covers the two plane buffers, the word tile, and 2x slack
+    # for live (Bw, W) temporaries (one-hot mask, masked product) the
+    # compiler may spill; 256 is the widest measured config
     Bw = 8
     vmem_budget = 8 << 20
-    for cand in (512, 256, 128, 64, 32, 16, 8):
-        if GB % cand == 0 and 2 * cand * w_state * 4 <= vmem_budget:
+    for cand in (256, 128, 64, 32, 16, 8):
+        need = (4 * cand * w_state + cand * 128) * 4
+        if GB % cand == 0 and need <= vmem_budget:
             Bw = cand
             break
     n_rows = planes + 1

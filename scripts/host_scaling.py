@@ -59,7 +59,13 @@ sl, res = align_distributed(eng, encoded)  # warm (compile/trace)
 # This machine has ONE core: if both workers time concurrently, the
 # measurement is core contention, not framework overhead (a real pod
 # gives every process its own machine).  Token files serialize the
-# timed sections: worker p runs after p-1 drops its token.
+# timed sections: every worker first announces its warm-up finished,
+# waits for ALL peers' warm-ups (so worker 0's timed run does not
+# overlap worker 1's warm run), then worker p times after p-1.
+open(os.path.join(turndir, f"warm{pid}"), "w").close()
+for q in range(int(nprocs)):
+    while not os.path.exists(os.path.join(turndir, f"warm{q}")):
+        time.sleep(0.02)
 if pid > 0:
     while not os.path.exists(os.path.join(turndir, f"done{pid - 1}")):
         time.sleep(0.02)
@@ -108,19 +114,34 @@ def main():
                "JAX_PLATFORMS": "cpu",
                "PYTHONPATH": os.path.dirname(os.path.dirname(
                    os.path.abspath(__file__)))}
-        procs, outs = [], []
+        procs, outs, errs = [], [], []
         for pid in range(2):
             out = os.path.join(td, f"out{pid}.json")
             outs.append(out)
+            # stderr to a FILE, not a pipe: a chatty child (jax logs)
+            # would fill a pipe buffer and deadlock against our wait()
+            err = open(os.path.join(td, f"err{pid}"), "w+b")
+            errs.append(err)
             procs.append(subprocess.Popen(
                 [sys.executable, worker, coord, str(pid), "2",
                  str(n_pairs), str(read_len), out, td],
-                env=env, stdout=subprocess.DEVNULL,
-                stderr=subprocess.PIPE))
-        for p in procs:
-            if p.wait(timeout=1200) != 0:
-                print(p.stderr.read().decode()[-1500:])
-                return 1
+                env=env, stdout=subprocess.DEVNULL, stderr=err))
+        failed = False
+        for p, err in zip(procs, errs):
+            try:
+                rc = p.wait(timeout=1200)
+            except subprocess.TimeoutExpired:
+                rc = -1
+            if rc != 0:
+                failed = True
+                err.seek(0)
+                print(err.read().decode(errors="replace")[-1500:])
+        if failed:
+            # a dead peer can leave the other spinning on its token
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            return 1
         ds = [json.load(open(o)) for o in outs]
 
     walls = [d["wall"] for d in ds]
