@@ -71,6 +71,17 @@ class EngineConfig:
                                    # native traceback/encode pools
                                    # (0 = hardware_concurrency), the
                                    # reference's OpenMP -n analogue
+    target_buckets: int = 16       # adaptive bucket-count target: the
+                                   # batch splits into ~this many
+                                   # buckets so host packing, upload
+                                   # and device compute pipeline, and
+                                   # finer length grouping trims each
+                                   # program's sweep to its pairs
+                                   # (round-3 sweep on 1024 x 10 kb:
+                                   # 2/4/8/16 buckets = 647/504/485/
+                                   # 473 ms, 32 flat, 64 regresses;
+                                   # aligns_per_batch still bounds
+                                   # bucket SIZE, floor 64 pairs)
     traceback_mode: str = "device" # "device": emit-flags kernel + on-
                                    # device walk (CIGAR cost scales with
                                    # the chip); "host": the AVX-512

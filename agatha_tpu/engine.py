@@ -161,12 +161,14 @@ class AlignEngine:
         """Yield buckets one at a time so dispatch overlaps packing."""
         n = len(encoded)
         sw = self.cfg.slice_width
-        # Adaptive bucket size: ~8 buckets pipeline host packing, upload
-        # and compute against each other (measured 1.5x over one big
-        # bucket on 10kb reads); aligns_per_batch (-a) is an upper bound.
+        # Adaptive bucket size: ~target_buckets buckets pipeline host
+        # packing, upload and compute against each other (measured
+        # 1.5x over one big bucket on 10kb reads); aligns_per_batch
+        # (-a) is an upper bound on bucket size.
+        tb = max(1, self.engine_cfg.target_buckets)
         per_bucket = min(
             max(B_PAIRS, self.engine_cfg.aligns_per_batch),
-            max(64, -(-n // 8)),
+            max(64, -(-n // tb)),
         )
 
         w_need = np.empty(n, np.int64)
