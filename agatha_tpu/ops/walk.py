@@ -169,17 +169,31 @@ def _walk_jit(flags, vbases, ends):
     return words[0::2] | (words[1::2] << 16)
 
 
-def _make_walk_kernel(Bw: int, W: int, P: int, NW: int):
+def _make_walk_kernel(Bw: int, W: int, P: int, NW: int,
+                      n_chains: int = 1):
     """Pallas walk: the XLA scan version (_walk_jit) spends ~16 us per
     plane on HBM round-trips between scan iterations; staging each
     (Bw, W) plane in VMEM once and running the 8 extraction substeps in
     registers runs ~6x faster (measured round 3: 480 -> ~80 ms on the
-    1024 x 10 kb workload)."""
+    1024 x 10 kb workload).
+
+    ``n_chains`` splits the Bw rows into independent row groups whose
+    substeps interleave in program order — the latency-hiding
+    hypothesis behind it was REFUTED on hardware (see the policy note
+    in `_walk_pallas_jit`: 2 chains flat, 4+ regress; the substep wall
+    is instruction-issue-bound, so multiplying the per-substep
+    instruction count by NC cancels the overlap win).  The mechanism
+    is kept (bit-identical for every chain count, verified on chip)
+    for one-flag re-probing on future Mosaic releases.
+    """
     _ = P  # plane count is encoded in the grid/out shapes
+    NC = n_chains
+    assert Bw % NC == 0 and (Bw // NC) % 8 == 0, (Bw, NC)
+    Bc = Bw // NC
 
     def kernel(vb_ref, ends_ref, flags_ref, out_ref):
         rowb = pl.multiple_of(pl.program_id(0) * Bw, Bw)
-        w128 = jax.lax.broadcasted_iota(_I32, (Bw, 128), 1)
+        w128 = jax.lax.broadcasted_iota(_I32, (Bc, 128), 1)
 
         def plane_dma(buf, p, sem):
             src_lane = jnp.maximum(p, 0) * W  # clamp: pad planes
@@ -199,44 +213,54 @@ def _make_walk_kernel(Bw: int, W: int, P: int, NW: int):
                 sem,
             )
 
-        lane_iota = jax.lax.broadcasted_iota(_I32, (Bw, W), 1)
+        lane_iota = jax.lax.broadcasted_iota(_I32, (Bc, W), 1)
 
-        def substeps(plane, p8, carry):
+        def substep_k(plane, p8, k, carry):
             r, c, st, word = carry
-            for k in range(7, -1, -1):
-                d = p8 + k
-                active = (r + c) == d
-                inb = active & (r >= 0) & (c >= 0)
-                lane = r - vb_ref[jnp.maximum(p8 >> 3, 0)]
-                oh = lane_iota == lane
-                fl = jnp.sum(jnp.where(oh, plane, 0), axis=1,
-                             keepdims=True)
-                nib = (fl >> (4 * k)) & 15
-                src = nib & 3
-                h_st = inb & (st == 0)
-                e_st = inb & (st == 1)
-                f_st = inb & (st == 2)
-                h_e = h_st & (src == 1)
-                h_f = h_st & (src == 2)
-                e_open = e_st & ((nib & 4) != 0)
-                f_open = f_st & ((nib & 8) != 0)
-                is_m = (h_st & (src == 0)) | e_open | f_open
-                is_d = h_e | (e_st & ~e_open)
-                is_i = h_f | (f_st & ~f_open)
-                b_i = active & (r < 0) & (c >= 0)
-                b_d = active & (c < 0) & (r >= 0)
-                mv = jnp.where(
-                    is_m, 1,
-                    jnp.where(is_d | b_d, 2,
-                              jnp.where(is_i | b_i, 3, 0)),
-                )
-                r = r - jnp.where(is_m | is_d | b_d, 1, 0)
-                c = c - jnp.where(is_m | is_i | b_i, 1, 0)
-                st = jnp.where(
-                    h_e, 1, jnp.where(h_f, 2, jnp.where(is_m, 0, st)),
-                )
-                word = word | (mv << (2 * k))
+            d = p8 + k
+            active = (r + c) == d
+            inb = active & (r >= 0) & (c >= 0)
+            lane = r - vb_ref[jnp.maximum(p8 >> 3, 0)]
+            oh = lane_iota == lane
+            fl = jnp.sum(jnp.where(oh, plane, 0), axis=1,
+                         keepdims=True)
+            nib = (fl >> (4 * k)) & 15
+            src = nib & 3
+            h_st = inb & (st == 0)
+            e_st = inb & (st == 1)
+            f_st = inb & (st == 2)
+            h_e = h_st & (src == 1)
+            h_f = h_st & (src == 2)
+            e_open = e_st & ((nib & 4) != 0)
+            f_open = f_st & ((nib & 8) != 0)
+            is_m = (h_st & (src == 0)) | e_open | f_open
+            is_d = h_e | (e_st & ~e_open)
+            is_i = h_f | (f_st & ~f_open)
+            b_i = active & (r < 0) & (c >= 0)
+            b_d = active & (c < 0) & (r >= 0)
+            mv = jnp.where(
+                is_m, 1,
+                jnp.where(is_d | b_d, 2,
+                          jnp.where(is_i | b_i, 3, 0)),
+            )
+            r = r - jnp.where(is_m | is_d | b_d, 1, 0)
+            c = c - jnp.where(is_m | is_i | b_i, 1, 0)
+            st = jnp.where(
+                h_e, 1, jnp.where(h_f, 2, jnp.where(is_m, 0, st)),
+            )
+            word = word | (mv << (2 * k))
             return r, c, st, word
+
+        def substeps(plane_full, p8, carries):
+            # k-major over interleaved chains: consecutive bundles are
+            # data-independent across chains, hiding the chain latency
+            planes = [plane_full[ch * Bc:(ch + 1) * Bc, :]
+                      for ch in range(NC)]
+            out = list(carries)
+            for k in range(7, -1, -1):
+                for ch in range(NC):
+                    out[ch] = substep_k(planes[ch], p8, k, out[ch])
+            return out
 
         def run(pa, pb, wtile, sems, sem_w):
             n_rows = 2 * NW  # includes pad rows (planes < -1: inert)
@@ -251,29 +275,34 @@ def _make_walk_kernel(Bw: int, W: int, P: int, NW: int):
             wtile_dma(wtile, jnp.int32(0), sem_w.at[0]).start()
 
             def inner(q, carry, jb):
-                r, c, st = carry
+                chains = carry  # NC x (r, c, st)
                 i = jb * 256 + 2 * q
 
-                def one(buf, sem, i_row):
+                def one(buf, sem, i_row, chains):
                     p = row_plane(i_row)
                     cp = plane_dma(buf, p, sem)
                     cp.wait()
                     plane = buf[:, :]
-                    rr, cc, ss, word = substeps(
-                        plane, p * 8, (r, c, st, jnp.zeros((Bw, 1), _I32))
+                    res = substeps(
+                        plane, p * 8,
+                        [(r, c, st, jnp.zeros((Bc, 1), _I32))
+                         for r, c, st in chains],
                     )
                     # prefetch two planes ahead into the same buffer
                     plane_dma(buf, p - 2, sem).start()
-                    return rr, cc, ss, word
+                    return (tuple((r, c, st) for r, c, st, _w in res),
+                            [w for _r, _c, _s, w in res])
 
-                r, c, st, w_lo = one(pa, sems.at[0], i)
-                r, c, st, w_hi = one(pb, sems.at[1], i + 1)
-                word = w_lo | (w_hi << 16)
+                chains, w_lo = one(pa, sems.at[0], i, chains)
+                chains, w_hi = one(pb, sems.at[1], i + 1, chains)
                 lane_j = (i >> 1) & 127
-                wtile[:, :] = wtile[:, :] | jnp.where(
-                    w128 == lane_j, word, 0
-                )
-                return r, c, st
+                for ch in range(NC):
+                    word = w_lo[ch] | (w_hi[ch] << 16)
+                    lo = ch * Bc
+                    wtile[lo:lo + Bc, :] = wtile[lo:lo + Bc, :] | (
+                        jnp.where(w128 == lane_j, word, 0)
+                    )
+                return chains
 
             def outer(jb, carry):
                 cpw = wtile_dma(wtile, jb, sem_w.at[0])
@@ -285,10 +314,14 @@ def _make_walk_kernel(Bw: int, W: int, P: int, NW: int):
                 cpw.start()
                 return carry
 
-            init = (
-                ends_ref[:, 2:3],               # r = t_end
-                ends_ref[:, 1:2],               # c = q_end
-                jnp.zeros((Bw, 1), _I32),       # state H
+            ends = ends_ref[:, :]
+            init = tuple(
+                (
+                    ends[ch * Bc:(ch + 1) * Bc, 2:3],  # r = t_end
+                    ends[ch * Bc:(ch + 1) * Bc, 1:2],  # c = q_end
+                    jnp.zeros((Bc, 1), _I32),          # state H
+                )
+                for ch in range(NC)
             )
             jax.lax.fori_loop(0, NW // 128, outer, init)
             # drain the dangling prefetches + final block flush
@@ -310,9 +343,11 @@ def _make_walk_kernel(Bw: int, W: int, P: int, NW: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("planes", "w_state"), donate_argnums=(0,)
+    jax.jit, static_argnames=("planes", "w_state", "n_chains"),
+    donate_argnums=(0,),
 )
-def _walk_pallas_jit(flags, vbases, ends, *, planes, w_state):
+def _walk_pallas_jit(flags, vbases, ends, *, planes, w_state,
+                     n_chains=None):
     """Compiled walk over the flat (GB, planes*W) flag bitmap.
 
     Returns (n_word_rows_padded/2... ) packed words in the SAME
@@ -340,7 +375,18 @@ def _walk_pallas_jit(flags, vbases, ends, *, planes, w_state):
             break
     n_rows = planes + 1
     NW = -(-(-(-n_rows // 2)) // 128) * 128
-    kernel = _make_walk_kernel(Bw, w_state, planes, NW)
+    if n_chains is None:
+        # measured policy: 1.  The latency-hiding row split (see
+        # _make_walk_kernel) was built and REFUTED on hardware: on
+        # 256 x 10 kb real flags (Bw=256), 1/2/4/8 chains = 38.4/38.7/
+        # 48.1/77.0 ms (bit-identical) — the interleave win is exactly
+        # consumed by the chain-multiplied instruction count at 2 and
+        # loses outright beyond, i.e. the substep wall is per-
+        # instruction-issue-bound, not dependency-latency-bound.  The
+        # mechanism stays for re-probing on future Mosaic releases.
+        n_chains = 1
+    kernel = _make_walk_kernel(Bw, w_state, planes, NW,
+                               n_chains=n_chains)
     words = pl.pallas_call(
         kernel,
         grid=(GB // Bw,),
