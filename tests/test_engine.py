@@ -193,3 +193,22 @@ def test_mixed_windowed_and_full_buckets(rng):
         got = (int(res.scores[i]), int(res.query_ends[i]),
                int(res.target_ends[i]))
         assert got == tuple(exp), f"pair {i}"
+
+
+def test_target_buckets_splits_without_changing_results(rng):
+    """EngineConfig.target_buckets controls the adaptive bucket count
+    (floor 64 pairs/bucket); results are split-invariant."""
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2)
+    enc = []
+    for i in range(256):
+        s = random_seq(rng, 24 + (i % 40))
+        t = mutate(rng, s)
+        enc.append((encode_padded(s), encode_padded(t), len(s), len(t)))
+    r2 = AlignEngine(cfg, EngineConfig(target_buckets=2),
+                     interpret=True).align(enc)
+    r4 = AlignEngine(cfg, EngineConfig(target_buckets=4),
+                     interpret=True).align(enc)
+    assert r2.n_buckets == 2 and r4.n_buckets == 4
+    assert (r2.scores == r4.scores).all()
+    assert (r2.query_ends == r4.query_ends).all()
+    assert (r2.target_ends == r4.target_ends).all()
