@@ -26,21 +26,29 @@ import numpy as np
 SRC = os.path.join(os.path.dirname(__file__), "..",
                    "agatha_tpu", "ops", "walk.py")
 
-EXTRACT = """                oh = lane_iota == lane
-                fl = jnp.sum(jnp.where(oh, plane, 0), axis=1,
-                             keepdims=True)"""
+# patterns target substep_k (the Pallas kernel); the XLA reference
+# walk's similar lines differ by indexing ([None, :]) / st formatting
+EXTRACT = """            oh = lane_iota == lane
+            fl = jnp.sum(jnp.where(oh, plane, 0), axis=1,
+                         keepdims=True)"""
 
-NOREDUCE = """                oh = lane_iota == lane
-                fl = plane[:, :1] + (lane & 0)"""
+NOREDUCE = """            oh = lane_iota == lane
+            fl = plane[:, :1] + (lane & 0)"""
 
-STATE_TAIL = """                r = r - jnp.where(is_m | is_d | b_d, 1, 0)
-                c = c - jnp.where(is_m | is_i | b_i, 1, 0)"""
+STATE_TAIL = """            r = r - jnp.where(is_m | is_d | b_d, 1, 0)
+            c = c - jnp.where(is_m | is_i | b_i, 1, 0)
+            st = jnp.where(
+                h_e, 1, jnp.where(h_f, 2, jnp.where(is_m, 0, st)),
+            )"""
 
-NOSTATE = """                is_m = inb | is_m
-                is_d = is_d & ~inb
-                is_i = is_i & ~inb
-                r = r - jnp.where(is_m | is_d | b_d, 1, 0)
-                c = c - jnp.where(is_m | is_i | b_i, 1, 0)"""
+NOSTATE = """            is_m = inb | is_m
+            is_d = is_d & ~inb
+            is_i = is_i & ~inb
+            r = r - jnp.where(is_m | is_d | b_d, 1, 0)
+            c = c - jnp.where(is_m | is_i | b_i, 1, 0)
+            st = jnp.where(
+                h_e, 1, jnp.where(h_f, 2, jnp.where(is_m, 0, st)),
+            )"""
 
 
 def load_variant(name, repl):
@@ -72,7 +80,7 @@ def main():
     # flag bitmap is uploaded ONCE and reused across reps (the tunnel
     # uploads at ~40 MB/s; re-uploading per rep would dwarf the walk)
     nodonate = [("donate_argnums=(0,)", "donate_argnums=()")]
-    bw64 = [("(512, 256, 128, 64, 32, 16, 8)", "(64, 32, 16, 8)")]
+    bw64 = [("(256, 128, 64, 32, 16, 8)", "(64, 32, 16, 8)")]
     variants = [
         ("base", nodonate),
         ("bw64", nodonate + bw64),
