@@ -22,15 +22,41 @@ from agatha_tpu.utils.workload import make_workload
 SRC = os.path.join(os.path.dirname(__file__), "..",
                    "agatha_tpu", "ops", "kernel.py")
 
+# Patterns track the production kernel text (wave-indexed, 20-space
+# substep body since the multi-wave refactor); load_variant asserts on
+# drift so a stale probe fails loudly instead of mis-ablating.
+_BOOKKEEPING = """                    live = (term == 0) & (d < end_p[i])
+                    gate = live & (
+                        ((d < i_end8[i]) & (d < n_diags[i]))
+                        | (d >= i_end8[i])
+                    )
+                    th = dmax >> 16
+                    tr = dmax & 0xFFFF
+                    dq = d - tr
+                    upd = gate & (th > ms)
+                    if z >= 0:
+                        zel = gate & ~(th > ms) & (tr >= mr) & (dq >= mq)
+                        gap = jnp.abs((tr - mr) - (dq - mq))
+                        term = jnp.where(
+                            zel & (ms - th > z + gap * ge), 1, term
+                        )
+                    ms = jnp.where(upd, th, ms)
+                    mr = jnp.where(upd, tr, mr)
+                    mq = jnp.where(upd, dq, mq)
+                    diags = diags + live.astype(_I32)
+                    bks[i] = [ms, mr, mq, term, diags]"""
+
 VARIANTS = {
     "baseline": [],
     "no_bookkeeping": [
-        # drop per-diagonal max tracking + z-drop bookkeeping
-        ("packed = (h_new << 16) + r",
-         "packed = (h_new << 16) + r\n"
-         "                if True:\n"
-         "                    kph = kph\n"
-         "                    continue"),
+        # drop per-diagonal max tracking + z-drop bookkeeping AND the
+        # packed/dmax reduction feeding it
+        ("""                    packed = (h_new << 16) + r
+                    packed = jnp.where(C, packed, jnp.int32(INT32_MIN))
+                    dmax = jnp.max(packed, axis=1, keepdims=True)""",
+         """                    _ = h_new  # bookkeeping ablated"""),
+        (_BOOKKEEPING,
+         """                    _ = term  # bookkeeping ablated"""),
     ],
     "no_masks": [
         ("C = valid & ((cls & z_b) | (ncls & z_a))", "C = valid"),
@@ -41,49 +67,34 @@ VARIANTS = {
     "lite_scalar_chain": [
         # keep packed/dmax reduction; replace the 15-op sequential
         # (B,1) chain with 2 ops (tests the latency-bound hypothesis)
-        ("""                live = (term == 0) & (d < end_p)
-                gate = live & (
-                    ((d < i_end8) & (d < n_diags)) | (d >= i_end8)
-                )
-                th = dmax >> 16
-                tr = dmax & 0xFFFF
-                dq = d - tr
-                upd = gate & (th > ms)
-                if z >= 0:
-                    zel = gate & ~(th > ms) & (tr >= mr) & (dq >= mq)
-                    gap = jnp.abs((tr - mr) - (dq - mq))
-                    term = jnp.where(
-                        zel & (ms - th > z + gap * ge), 1, term
-                    )
-                ms = jnp.where(upd, th, ms)
-                mr = jnp.where(upd, tr, mr)
-                mq = jnp.where(upd, dq, mq)
-                diags = diags + live.astype(_I32)""",
-         """                live = (term == 0) & (d < end_p)
-                ms = jnp.maximum(ms, dmax)
-                diags = diags + live.astype(_I32)"""),
+        (_BOOKKEEPING,
+         """                    live = (term == 0) & (d < end_p[i])
+                    ms = jnp.maximum(ms, dmax)
+                    diags = diags + live.astype(_I32)
+                    bks[i] = [ms, mr, mq, term, diags]"""),
     ],
     "no_dma": [
-        ("            cp_t.wait()\n            cp_q.wait()",
-         "            pass"),
-        ("            ncp_t.start()\n            ncp_q.start()",
-         "            pass"),
-        ("            p_t.start()\n            p_q.start()",
-         "            pass"),
-        ("            w_t.wait()\n            w_q.wait()",
-         "            pass"),
+        ("                cp_t.wait()\n                cp_q.wait()",
+         "                pass"),
+        ("                ncp_t.start()\n                ncp_q.start()",
+         "                pass"),
+        ("                p_t.start()\n                p_q.start()",
+         "                pass"),
+        ("                w_t.wait()\n                w_q.wait()",
+         "                pass"),
     ],
     "two_stage_reduce": [
         ("dmax = jnp.max(packed, axis=1, keepdims=True)",
          "m128 = packed[:, 0:128]\n"
-         "                for _t in range(1, W // 128):\n"
-         "                    m128 = jnp.maximum(m128, packed[:, 128*_t:128*(_t+1)])\n"
-         "                dmax = jnp.max(m128, axis=1, keepdims=True)"),
+         "                    for _t in range(1, W // 128):\n"
+         "                        m128 = jnp.maximum(m128, packed[:, 128*_t:128*(_t+1)])\n"
+         "                    dmax = jnp.max(m128, axis=1, keepdims=True)"),
     ],
     "no_feed": [
-        ("qwin = jnp.where(\n                    lane0, feed[:, k:k + 1],\n"
-         "                    _roll1(qwin_r[:, :], interpret=interpret),\n"
-         "                )",
+        ("qwin = jnp.where(\n"
+         "                        lane0, feed[i][:, k:k + 1],\n"
+         "                        _roll1(qwin_r[:, :], interpret=interpret),\n"
+         "                    )",
          "qwin = qwin_r[:, :]"),
     ],
 }
