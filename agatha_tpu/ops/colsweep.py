@@ -198,3 +198,348 @@ def _diag_chain_np(diag_max, i_end, n_diags, sw, z, ge):
             if z >= 0 and ms - th > z + gap * ge:
                 term = True
     return ms, mq, mr, diags
+
+
+# --- device implementation (Pallas sweep + XLA skew + Pallas chain) ----
+
+import functools  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+_I32j = jnp.int32
+LN = 128
+_NEG_BIG = -(1 << 28)  # scan fill: loses every max, no wraparound
+
+
+def _tr16j(x):
+    return ((x + 0x8000) & 0xFFFF) - 0x8000
+
+
+def _shift_down(x, s, fill, interpret):
+    """rows[s:] = x[:-s], rows[:s] = fill (int32 scalar)."""
+    if interpret:
+        y = jnp.roll(x, s, axis=0)
+    else:
+        y = pltpu.roll(x, shift=s, axis=0)
+    ri = jax.lax.broadcasted_iota(_I32j, x.shape, 0)
+    return jnp.where(ri < s, fill, y)
+
+
+def _make_sweep_kernel(R, Q, Dpad, cfg, interpret):
+    """One 128-lane block: pairs on lanes, target rows on sublanes.
+
+    Per-diagonal packed maxima accumulate in a VMEM ring DURING the
+    sweep: column j contributes packed(r) to diagonal r + j, and
+    within an 8-column group the offsets j..j+7 collapse into one
+    group-local skewed accumulator (8 shifted maxes) whose ring
+    destination offset 8*g8 is sublane-ALIGNED — so the only output is
+    the (Dpad, 128) ring itself (a first version emitted the full
+    packed cell matrix and recovered diagonals with an XLA skew pass;
+    that moved multi-GB of HBM traffic and measured 185 k reads/s —
+    the ring version removes ~all of it).  Semantics:
+    align_one_colsweep_np (the NumPy contract), which matches
+    ops/sweep.py on eligible buckets.
+    """
+    sw, bw = cfg.slice_width, cfg.band_width
+    goe, ge = cfg.gap_oe, cfg.gap_extend
+    match, mism = cfg.match, cfg.mismatch
+    del bw  # eligibility guarantees every column/row is inside the band
+
+    def kernel(meta_ref, tmat_ref, qmat_ref, out_ref):
+        qlen = meta_ref[0:1, :]
+        rlen = meta_ref[1:2, :]
+        r_iota = jax.lax.broadcasted_iota(_I32j, (R, LN), 0)
+        pr = r_iota >> 3
+        r8p = ((rlen + 7) >> 3) << 3
+        exist = r_iota < r8p
+        fake = r_iota >= rlen            # rows in [rlen, R8p) pollute
+        prev_fake = r_iota >= rlen + 1   # fake(r-1); row 0 never
+        ge_r = ge * r_iota               # scan weights
+        tmat = tmat_ref[:, :]
+        t_is_n = tmat == N_VALUE
+
+        def run(hprev, fst):
+            # left-strip inits (rows always <= band: formula direct)
+            k0 = _tr16j(-(goe + ge * r_iota))
+            hprev[:, :] = k0
+            fst[:, :] = _tr16j(k0 - goe)
+            out_ref[:, :] = jnp.full((Dpad, LN), INT32_MIN, _I32j)
+
+            def column(j, k, g8, qblk, cst):
+                colm = qlen > j                      # (1, LN)
+                qb = qblk[k:k + 1, :]
+                s = jnp.where(qb == tmat, match, -mism)
+                s = jnp.where((qb == N_VALUE) | t_is_n, -N_PENALTY, s)
+
+                # top-boundary scalars (j <= Q-1 < band always)
+                top_h = jnp.where(
+                    j == 0, 0, _tr16j(-(goe + ge * (j - 1)))
+                )
+                top_e = _tr16j(_tr16j(-(goe + ge * j)) - goe)
+
+                htl = _shift_down(hprev[:, :], 1, 0, interpret)
+                htl = jnp.where(r_iota == 0, top_h, htl)
+                if k == 0:
+                    htl = jnp.where(cst & prev_fake, MINUS_INF2, htl)
+                temp = htl + s
+
+                f_in = fst[:, :]
+                if k == 0:
+                    f_in = jnp.where(cst & fake, MINUS_INF2, f_in)
+
+                # E prefix: e_in(r) = max(top_e - r*ge,
+                #   max_{k<r} temp(k) - goe - (r-1-k)*ge)
+                gv = temp - goe + ge_r
+                p = _shift_down(gv, 1, 0, interpret)
+                p = jnp.where(r_iota == 0, top_e - ge, p)
+                sft = 1
+                while sft < R:
+                    p = jnp.maximum(
+                        p, _shift_down(p, sft, _NEG_BIG, interpret)
+                    )
+                    sft *= 2
+                e_in = p - (ge_r - ge)
+
+                h_new = jnp.maximum(jnp.maximum(temp, f_in), e_in)
+                f_new = jnp.maximum(temp - goe, f_in - ge)
+                fst[:, :] = jnp.where(colm, f_new, fst[:, :])
+                hprev[:, :] = jnp.where(colm, h_new, hprev[:, :])
+
+                packed = (h_new << 16) + r_iota
+                packed = jnp.where(colm & exist, packed,
+                                   jnp.int32(INT32_MIN))
+                # extend to the (R+8) group frame and skew by k: row
+                # (k + r) of the group accumulator = diagonal
+                # 8*g8 + k + r
+                pe = jnp.concatenate(
+                    [packed,
+                     jnp.full((8, LN), INT32_MIN, _I32j)], axis=0
+                )
+                if k:
+                    pe = _shift_down(pe, k, INT32_MIN, interpret)
+                return pe
+
+            def group(g8, _):
+                qblk = qmat_ref[pl.ds(pl.multiple_of(g8 * 8, 8), 8), :]
+                # chunk-start mask for column 8*g8 (pj == g8):
+                # i = sw*((pr + g8)//sw); cst = g8 == max(0, i - pr)
+                i_sl = ((pr + g8) // sw) * sw
+                cst = g8 == jnp.maximum(0, i_sl - pr)
+
+                gacc = column(g8 * 8, 0, g8, qblk, cst)
+                for k in range(1, 8):
+                    gacc = jnp.maximum(
+                        gacc, column(g8 * 8 + k, k, g8, qblk, cst)
+                    )
+                # ring merge at the 8-aligned group offset
+                seg = pl.ds(pl.multiple_of(g8 * 8, 8), R + 8)
+                out_ref[seg, :] = jnp.maximum(out_ref[seg, :], gacc)
+                return 0
+
+            jax.lax.fori_loop(0, Q // 8, group, 0)
+
+        pl.run_scoped(
+            run,
+            hprev=pltpu.VMEM((R, LN), _I32j),
+            fst=pltpu.VMEM((R, LN), _I32j),
+        )
+
+    return kernel
+
+
+def _make_chain_kernel(Dpad, GB, z, ge):
+    """Per-diagonal best/Z-drop chain over the whole bucket at once.
+
+    diag_ref holds (Dpad, GB) packed diagonal maxima in HBM (rows DMA'd
+    in double-buffered groups of 8); scal_ref (4, GB) carries per-pair
+    [i_end8, n_diags, end_p, 0].  One serial loop over diagonals with
+    every pair on the lanes — the exact sequential semantics of
+    sweep.py check_diag + the slice/wrap-up schedule, vectorized across
+    pairs only (kernel.py runs the identical chain per substep).
+    """
+
+    def kernel(scal_ref, diag_ref, out_ref):
+        i_end8 = scal_ref[0:1, :]
+        n_diags = scal_ref[1:2, :]
+        end_p = scal_ref[2:3, :]
+
+        def row_dma(buf, gd, sem):
+            return pltpu.make_async_copy(
+                diag_ref.at[pl.ds(pl.multiple_of(gd * 8, 8), 8), :],
+                buf, sem,
+            )
+
+        def run(buf_a, buf_b, sems):
+            row_dma(buf_a, jnp.int32(0), sems.at[0]).start()
+            row_dma(buf_b, jnp.int32(1), sems.at[1]).start()
+
+            def steps(buf, gd, carry):
+                ms, mr, mq, term, diags = carry
+                for k in range(8):
+                    d = gd * 8 + k
+                    dmax = buf[k:k + 1, :]
+                    live = (term == 0) & (d < end_p)
+                    gate = live & (
+                        ((d < i_end8) & (d < n_diags)) | (d >= i_end8)
+                    )
+                    th = dmax >> 16
+                    tr = dmax & 0xFFFF
+                    dq = d - tr
+                    upd = gate & (th > ms)
+                    zel = gate & ~(th > ms) & (tr >= mr) & (dq >= mq)
+                    gap = jnp.abs((tr - mr) - (dq - mq))
+                    if z >= 0:
+                        term = jnp.where(
+                            zel & (ms - th > z + gap * ge), 1, term
+                        )
+                    ms = jnp.where(upd, th, ms)
+                    mr = jnp.where(upd, tr, mr)
+                    mq = jnp.where(upd, dq, mq)
+                    diags = diags + live.astype(_I32j)
+                return ms, mr, mq, term, diags
+
+            def pair_of_groups(q, carry):
+                gd = 2 * q
+                cp = row_dma(buf_a, gd, sems.at[0])
+                cp.wait()
+                carry = steps(buf_a, gd, carry)
+                row_dma(buf_a, jnp.minimum(gd + 2, Dpad // 8 - 1),
+                        sems.at[0]).start()
+                cp = row_dma(buf_b, gd + 1, sems.at[1])
+                cp.wait()
+                carry = steps(buf_b, gd + 1, carry)
+                row_dma(buf_b, jnp.minimum(gd + 3, Dpad // 8 - 1),
+                        sems.at[1]).start()
+                return carry
+
+            z0 = jnp.zeros((1, GB), _I32j)
+            carry = jax.lax.fori_loop(
+                0, Dpad // 16, pair_of_groups, (z0, z0, z0, z0, z0)
+            )
+            ms, mr, mq, term, diags = carry
+            row_dma(buf_a, jnp.int32(0), sems.at[0]).wait()
+            row_dma(buf_b, jnp.int32(0), sems.at[1]).wait()
+            out_ref[0:1, :] = ms
+            out_ref[1:2, :] = mq
+            out_ref[2:3, :] = mr
+            out_ref[3:4, :] = diags
+
+        pl.run_scoped(
+            run,
+            buf_a=pltpu.VMEM((8, GB), _I32j),
+            buf_b=pltpu.VMEM((8, GB), _I32j),
+            sems=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "r_rows", "q_cols", "d_pad", "interpret"),
+)
+def _colsweep_jit(meta, tcodes, qfwd, *, cfg, r_rows, q_cols, d_pad,
+                  interpret):
+    """Jitted sweep + skew + chain for one chunk of <= cap pairs.
+
+    meta (GB, 2) int32 (GB a multiple of 128); tcodes/qfwd in the
+    bucket wire format ((GB, X/2) uint8 nibbles or (GB, X) int8).
+    Returns (GB, 4) int32 [score, q_end, t_end, diags] — the
+    align_bucket result contract.
+    """
+    from agatha_tpu.ops.kernel import _unpack_nibbles
+
+    GB = meta.shape[0]
+    R, Q = r_rows, q_cols
+    t = (_unpack_nibbles(tcodes) if tcodes.dtype == jnp.uint8
+         else tcodes.astype(_I32j))
+    q = (_unpack_nibbles(qfwd) if qfwd.dtype == jnp.uint8
+         else qfwd.astype(_I32j))
+    tmat = t[:, :R].T
+    qmat = q[:, :Q].T
+    meta2 = meta.astype(_I32j).T
+
+    diag = pl.pallas_call(
+        _make_sweep_kernel(R, Q, d_pad, cfg, interpret),
+        grid=(GB // LN,),
+        in_specs=[
+            pl.BlockSpec((2, LN), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LN), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, LN), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d_pad, LN), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d_pad, GB), _I32j),
+        interpret=interpret,
+    )(meta2, tmat, qmat)
+
+    # per-pair schedule scalars
+    qlen = meta[:, 0].astype(_I32j)
+    rlen = meta[:, 1].astype(_I32j)
+    sw = cfg.slice_width
+    tad = -(-qlen // 8) + -(-rlen // 8) - 1
+    i_end8 = (-(-tad // sw) * sw) * 8
+    nd = qlen + rlen - 1
+    scal = jnp.stack(
+        [i_end8, nd, i_end8 + 8, jnp.zeros_like(nd)], axis=0
+    )
+
+    out4 = pl.pallas_call(
+        _make_chain_kernel(d_pad, GB, cfg.z_threshold,
+                           cfg.gap_extend),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, GB), _I32j),
+        interpret=interpret,
+    )(scal, diag)
+    return out4.T
+
+
+def align_bucket_colsweep(meta, tcodes, qfwd, cfg: AlignConfig,
+                          interpret: bool = False):
+    """Column-sweep bucket alignment (same contract as align_bucket).
+
+    Caller must have checked `colsweep_eligible`.  Pads the bucket to
+    a 128-lane multiple; per-block memory is a few hundred KB of VMEM
+    (no HBM intermediates beyond the (d_pad, GB) diagonal ring).
+    Returns a device array; results are bit-identical to align_bucket.
+    """
+    import numpy as np_
+
+    meta = np_.asarray(meta)
+    gb = meta.shape[0]
+    wire = 2 if np_.asarray(tcodes).dtype == np_.uint8 else 1
+    R = int(min(tcodes.shape[1] * wire,
+                8 * int((-(-meta[:, 1].max() // 8)))))
+    Q = int(min(qfwd.shape[1] * wire,
+                8 * int((-(-meta[:, 0].max() // 8)))))
+    sw = cfg.slice_width
+    tad = -(-meta[:, 0].astype(_I64) // 8) + \
+        -(-meta[:, 1].astype(_I64) // 8) - 1
+    i_end8_max = int((-(-tad.max() // sw) * sw) * 8)
+    # chain consumes 16 rows/iteration; ring needs Q + R rows
+    d_pad = -(-max(i_end8_max + 8, R + Q) // 16) * 16
+
+    m, tc, qc = meta, tcodes, qfwd
+    pad = (-gb) % LN
+    if pad:
+        m = np_.concatenate([m, np_.ones((pad, 2), meta.dtype)], axis=0)
+        tc = np_.concatenate(
+            [tc, np_.zeros((pad, tc.shape[1]), tc.dtype)], axis=0)
+        qc = np_.concatenate(
+            [qc, np_.zeros((pad, qc.shape[1]), qc.dtype)], axis=0)
+    out = _colsweep_jit(
+        jnp.asarray(np_.asarray(m, np_.int32)), jnp.asarray(tc),
+        jnp.asarray(qc), cfg=cfg, r_rows=R, q_cols=Q, d_pad=d_pad,
+        interpret=interpret,
+    )
+    return out[:gb] if pad else out

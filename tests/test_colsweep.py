@@ -68,3 +68,40 @@ def test_colsweep_eligibility_boundary():
     bad = np.array([[41, 48]], np.int32)      # tad 11 -> 96 > 88
     assert not colsweep_eligible(bad, cfg, True)
     assert not colsweep_eligible(ok, cfg, False)  # needs int16-safe
+
+
+def test_device_colsweep_matches_oracle_interpret(rng):
+    """Pallas sweep + skew + chain (interpret) vs the oracle."""
+    from agatha_tpu.ops.colsweep import align_bucket_colsweep
+    from agatha_tpu.ops.kernel import build_bucket_arrays
+
+    cfg = CANON
+    pairs = _rand_pairs(rng, cfg, n=24, lo=8, hi=170)
+    meta, tcodes, qfwd = build_bucket_arrays(pairs, cfg)
+    out = np.asarray(
+        align_bucket_colsweep(meta, tcodes, qfwd, cfg, interpret=True)
+    )
+    for p, (qc, tc, ql, rl) in enumerate(pairs):
+        exp = align_one_sweep(qc, tc, ql, rl, cfg)
+        got = tuple(int(v) for v in out[p, :3])
+        assert got == tuple(exp), (p, got, tuple(exp), ql, rl)
+
+
+def test_device_colsweep_matches_align_bucket_interpret(rng):
+    """Full-row parity (incl. diags accounting) vs the main kernel."""
+    from agatha_tpu.ops.colsweep import align_bucket_colsweep
+    from agatha_tpu.ops.kernel import align_bucket, build_bucket_arrays
+
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                      slice_width=3, z_threshold=25, band_width=751)
+    pairs = _rand_pairs(rng, cfg, n=16, lo=8, hi=150)
+    meta, tcodes, qfwd = build_bucket_arrays(pairs, cfg)
+    ref = np.asarray(align_bucket(meta, tcodes, qfwd, cfg,
+                                  interpret=True))
+    got = np.asarray(
+        align_bucket_colsweep(meta, tcodes, qfwd, cfg, interpret=True)
+    )
+    n = len(pairs)
+    assert (got[:n] == ref[:n]).all(), np.argwhere(
+        (got[:n] != ref[:n]).any(axis=1)
+    ).ravel()
