@@ -93,6 +93,12 @@ class EngineConfig:
     use_all_devices: bool = True   # shard each bucket over all local
                                    # devices (score path); False pins
                                    # dispatch to the default device
+    colsweep: bool = True          # use the column-sweep kernel
+                                   # (pairs-on-lanes) for score-path
+                                   # buckets where it is exact (band
+                                   # covers every diagonal, int16-safe
+                                   # — the short-read regime); 5x the
+                                   # antidiagonal mapping at 150 bp
 
 
 def c_div_trunc(a: int, b: int) -> int:

@@ -298,10 +298,37 @@ class AlignEngine:
         )
         mesh = None if device_tb else self._local_mesh()
         tb_devs = None
+        cs_devs = None
         buckets = []
         pending = []
         for b in self.iter_buckets(encoded):
-            if device_tb:
+            if not device_tb and self._colsweep_ok(b):
+                # short-read regime: the column-sweep kernel (pairs on
+                # lanes) is exact here and ~5x the antidiagonal mapping
+                # (PERF_NOTES round 3); whole buckets round-robin
+                # across local chips (the diagonal ring + chain are
+                # device-local, so bucket-granular parallelism beats
+                # sharding rows)
+                from agatha_tpu.ops.colsweep import align_bucket_colsweep
+
+                if cs_devs is None:
+                    import jax
+
+                    cs_devs = (
+                        jax.local_devices()
+                        if self.engine_cfg.use_all_devices else [None]
+                    )
+                    if len(cs_devs) <= 1:
+                        cs_devs = [None]
+                dev = cs_devs[len(pending) % len(cs_devs)]
+                buckets.append(b)
+                pending.append(
+                    align_bucket_colsweep(
+                        b.meta, b.tcodes, b.qfwd, self.cfg,
+                        interpret=self.interpret, device=dev,
+                    )
+                )
+            elif device_tb:
                 from agatha_tpu.ops.walk import align_bucket_traceback
 
                 if tb_devs is None:
@@ -351,6 +378,28 @@ class AlignEngine:
                     )
                 )
         return buckets, pending
+
+    def _colsweep_ok(self, b: _Bucket) -> bool:
+        """True when the column-sweep kernel is exact for this bucket.
+
+        Requires `EngineConfig.colsweep`, the int16-safe regime for the
+        bucket's wire shapes, and a band that covers every packed
+        diagonal of the largest pair (colsweep_eligible) — at the
+        canonical band 751 this admits the reference's 150 bp regime
+        (test_prog/Makefile:45-61).  Device traceback keeps the
+        antidiagonal kernel (the flag-emitting variant lives there).
+        """
+        if not self.engine_cfg.colsweep:
+            return False
+        from agatha_tpu.ops.colsweep import colsweep_eligible
+        from agatha_tpu.ops.kernel import int16_safe
+
+        wire = 2 if b.tcodes.dtype == np.uint8 else 1
+        w = b.tcodes.shape[1] * wire
+        qf = b.qfwd.shape[1] * wire
+        return colsweep_eligible(
+            b.meta, self.cfg, int16_safe(self.cfg, max_len=w + qf)
+        )
 
     def _local_mesh(self):
         """1-D 'pairs' mesh when >1 local device is usable, else None.
@@ -502,7 +551,21 @@ class AlignEngine:
                 fetch_one(p)
             all_out = np.concatenate(outs) if len(outs) > 1 else outs[0]
         elif len(pending) > 1:
-            all_out = np.asarray(jnp.concatenate(pending, axis=0))
+            devs = {
+                tuple(sorted(d.id for d in p.devices()))
+                for p in pending
+            }
+            if len(devs) == 1:
+                all_out = np.asarray(jnp.concatenate(pending, axis=0))
+            else:
+                # colsweep round-robin places buckets on different
+                # chips: no cross-device concat — overlap the per-
+                # bucket host copies instead
+                for p in pending:
+                    p.copy_to_host_async()
+                all_out = np.concatenate(
+                    [np.asarray(p) for p in pending]
+                )
         else:
             all_out = np.asarray(pending[0])
         scores = np.zeros(n, np.int32)

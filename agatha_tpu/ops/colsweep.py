@@ -30,12 +30,26 @@ drops the slice/chunk/band clipping and the int16 strip round-trips,
 which is exact iff they are vacuous for every pair of the bucket:
 
 * `int16_safe` (ops/kernel.py) — every strip16 is an identity;
-* band_width >= 8*tad + 8 for the largest pair (tad = packed-diagonal
-  count prl+pql-1): then every `ctrunc16(8i+8-bw)` slice bound is
-  <= 0, chunk bounds cover [0, pql), and |q-r| <= bw for every cell —
-  `computed_mask(d)` collapses to `0 <= d-r < qlen`
-  (see ops/sweep.py).  At the canonical band 751 this admits pairs up
-  to ~370 bp combined-length ~744 — the reference's 150 bp regime.
+* **band_width >= max(qlen-1, 8*ceil(rlen/8)-1)** per pair.  This is
+  the tight condition; every clause of `computed_mask` (ops/sweep.py)
+  reduces to it:
+  - band test `|q-r| <= bw`: computed cells span q <= qlen-1 (fake
+    columns are never computed) but r <= 8*prl-1 (fake ROWS are
+    computed and pollute diagonal maxima), so the extremes are
+    q-r <= qlen-1 and r-q <= 8*prl-1;
+  - chunk start `cs = max(0, 8*pr-bw)//8 == 0` iff bw >= 8*pr-7, worst
+    pr = prl-1: bw >= 8*prl-15 — implied;
+  - chunk end `ce = min(pql-1, (8*pr+7+bw)//8) == pql-1` at worst
+    pr = 0: bw >= 8*pql-15 <= qlen-1 — implied;
+  - slice clip `pr >= ctrunc16(8*i+8-bw)` at worst i = pr+pq,
+    pq = pql-1, pr = 0: bw >= 8*pql-15 — implied; the `se` twin
+    needs bw >= 8*prl-15 — implied;
+  - the empty-slice termination (agatha_kernel.h:189) is unreachable
+    under these bounds (each `ss` term stays <= its `se` partner for
+    every slice below i_end).
+  At the canonical band 751 this admits qlen <= 752, rlen <= 752 —
+  the reference's ENTIRE short-read regime (150/300/600 bp datasets,
+  test_prog/Makefile:45-61).
 
 What is NOT dropped: the chunk-reload resets of fake rows (rows in
 [rlen, 8*ceil(rlen/8))) — their F / diagonal-H inputs reload
@@ -72,14 +86,17 @@ def colsweep_eligible(meta: np.ndarray, cfg: AlignConfig,
     """True when the column-sweep reformulation is exact for a bucket.
 
     meta is the (GB, 2) [qlen, rlen] array (padding rows qlen=rlen=1
-    are harmless).  See the module docstring for the derivation.
+    are harmless).  Tight condition (see the module docstring):
+    ``band >= max(qlen-1, 8*ceil(rlen/8)-1)`` per pair, plus the
+    int16-safe regime.
     """
     if not safe16:
         return False
     qlen = np.asarray(meta[:, 0], _I64)
     rlen = np.asarray(meta[:, 1], _I64)
-    tad = -(-qlen // 8) + -(-rlen // 8) - 1
-    return bool((8 * tad.max() + 8 <= cfg.band_width).all())
+    r8 = 8 * (-(-rlen // 8))
+    need = np.maximum(qlen - 1, r8 - 1)
+    return bool((need <= cfg.band_width).all())
 
 
 def _top_init(col, cfg):
@@ -114,7 +131,7 @@ def align_one_colsweep_np(q_codes, t_codes, qlen, rlen,
     tad = prl + pql - 1
     i_end = -(-tad // sw) * sw
     n_diags = qlen + rlen - 1
-    assert 8 * tad + 8 <= bw, "pair not colsweep-eligible"
+    assert max(qlen - 1, R8 - 1) <= bw, "pair not colsweep-eligible"
 
     t = np.asarray(t_codes[:R8], _I64)
     q = np.asarray(q_codes[: pql * 8], _I64)
@@ -504,30 +521,51 @@ def _colsweep_jit(meta, tcodes, qfwd, *, cfg, r_rows, q_cols, d_pad,
     return out4.T
 
 
+def colsweep_shapes(meta, tcodes, qfwd, cfg: AlignConfig):
+    """Static kernel extents (R rows, Q cols, d_pad ring rows) for a
+    bucket.  Extents round up to coarse grid steps (32 rows/cols, 128
+    ring rows) so bucket length jitter does not mint a fresh compile
+    per bucket; rounded-out rows/columns are fully masked in-kernel
+    (measured cost of the rounding vs exact extents: ~4% at 150 bp —
+    PERF_NOTES round 3)."""
+    meta = np.asarray(meta)
+    wire = 2 if np.asarray(tcodes).dtype == np.uint8 else 1
+    cap_r = tcodes.shape[1] * wire
+    cap_q = qfwd.shape[1] * wire
+    R = int(min(cap_r, -(-8 * int(-(-meta[:, 1].max() // 8)) // 32) * 32))
+    Q = int(min(cap_q, -(-8 * int(-(-meta[:, 0].max() // 8)) // 32) * 32))
+    assert R % 8 == 0 and Q % 8 == 0
+    sw = cfg.slice_width
+    tad = -(-meta[:, 0].astype(_I64) // 8) + \
+        -(-meta[:, 1].astype(_I64) // 8) - 1
+    i_end8_max = int((-(-tad.max() // sw) * sw) * 8)
+    # chain consumes 16 ring rows/iteration; ring needs Q + R rows
+    d_pad = -(-max(i_end8_max + 8, R + Q) // 128) * 128
+    return R, Q, d_pad
+
+
 def align_bucket_colsweep(meta, tcodes, qfwd, cfg: AlignConfig,
-                          interpret: bool = False):
+                          interpret: bool = False, device=None):
     """Column-sweep bucket alignment (same contract as align_bucket).
 
     Caller must have checked `colsweep_eligible`.  Pads the bucket to
     a 128-lane multiple; per-block memory is a few hundred KB of VMEM
     (no HBM intermediates beyond the (d_pad, GB) diagonal ring).
     Returns a device array; results are bit-identical to align_bucket.
+
+    Row/column/ring extents round up to coarse grid steps so bucket
+    length jitter does not mint a fresh compile per bucket (the same
+    hygiene as the flag-plane rounding, PERF_NOTES); rounded-out rows
+    and columns are fully masked inside the kernel.  ``device`` pins
+    the dispatch to one local chip (the engine round-robins eligible
+    buckets across chips — the ring + chain are device-local, so whole
+    buckets parallelize more simply than sharded rows).
     """
     import numpy as np_
 
     meta = np_.asarray(meta)
     gb = meta.shape[0]
-    wire = 2 if np_.asarray(tcodes).dtype == np_.uint8 else 1
-    R = int(min(tcodes.shape[1] * wire,
-                8 * int((-(-meta[:, 1].max() // 8)))))
-    Q = int(min(qfwd.shape[1] * wire,
-                8 * int((-(-meta[:, 0].max() // 8)))))
-    sw = cfg.slice_width
-    tad = -(-meta[:, 0].astype(_I64) // 8) + \
-        -(-meta[:, 1].astype(_I64) // 8) - 1
-    i_end8_max = int((-(-tad.max() // sw) * sw) * 8)
-    # chain consumes 16 rows/iteration; ring needs Q + R rows
-    d_pad = -(-max(i_end8_max + 8, R + Q) // 16) * 16
+    R, Q, d_pad = colsweep_shapes(meta, tcodes, qfwd, cfg)
 
     m, tc, qc = meta, tcodes, qfwd
     pad = (-gb) % LN
@@ -537,9 +575,14 @@ def align_bucket_colsweep(meta, tcodes, qfwd, cfg: AlignConfig,
             [tc, np_.zeros((pad, tc.shape[1]), tc.dtype)], axis=0)
         qc = np_.concatenate(
             [qc, np_.zeros((pad, qc.shape[1]), qc.dtype)], axis=0)
+    if device is not None:
+        def put(a):
+            return jax.device_put(a, device)
+    else:
+        put = jnp.asarray
     out = _colsweep_jit(
-        jnp.asarray(np_.asarray(m, np_.int32)), jnp.asarray(tc),
-        jnp.asarray(qc), cfg=cfg, r_rows=R, q_cols=Q, d_pad=d_pad,
+        put(np_.asarray(m, np_.int32)), put(np_.asarray(tc)),
+        put(np_.asarray(qc)), cfg=cfg, r_rows=R, q_cols=Q, d_pad=d_pad,
         interpret=interpret,
     )
     return out[:gb] if pad else out

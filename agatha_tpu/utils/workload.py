@@ -35,12 +35,16 @@ def result_gcups(encoded, result, cfg, seconds: float) -> float:
     return cells / seconds / 1e9
 
 
-def make_workload(n_pairs=512, mean_len=10000, seed=1234, div=0.10):
+def make_workload(n_pairs=512, mean_len=10000, seed=1234, div=0.10,
+                  spread=0.5):
     """Deterministic homologous pair set (seed-extension style).
 
     Pairs diverge by ~`div` (substitutions + short indels) — the
-    long-read mapping regime the reference targets.  Returns encoded
-    (q_codes, t_codes, qlen, rlen) tuples.
+    long-read mapping regime the reference targets.  ``spread`` is the
+    +-fractional length jitter: 0.5 models long-read length spread;
+    short-read datasets (the reference's fixed-length Illumina
+    150/300/600 bp files, test_prog/Makefile:45-61) want ~0.05.
+    Returns encoded (q_codes, t_codes, qlen, rlen) tuples.
     """
     from agatha_tpu.ops.packing import encode_padded
 
@@ -49,8 +53,10 @@ def make_workload(n_pairs=512, mean_len=10000, seed=1234, div=0.10):
     sub = div / 2
     indel = div / 4
     pairs = []
+    lo = max(1, int(mean_len * (1 - spread)))
+    hi = max(lo + 1, int(mean_len * (1 + spread)))
     for _ in range(n_pairs):
-        n = int(rng.integers(mean_len // 2, mean_len * 3 // 2))
+        n = int(rng.integers(lo, hi))
         q = bases[rng.integers(0, 4, size=n)]
         t = []
         i = 0

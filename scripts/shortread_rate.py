@@ -15,6 +15,10 @@ makes every band/chunk-clip test vacuous and compiles the masks away):
             patch, kernel_probe.py-style)
 
 Usage: python scripts/shortread_rate.py [n_reads] [read_len] [REPS]
+                                         [spread]
+(spread = +-fractional length jitter; default 0.5 to match the
+round-2/3 history at 150 bp; the reference's Illumina datasets are
+fixed-length, so 0.05 models them better at 300/600 bp.)
 """
 import importlib.util
 import os
@@ -66,13 +70,43 @@ def measure(mod, meta, tcodes, qfwd, cfg, n_reads, reps, n_waves=None):
     return n_reads / best, out
 
 
+def measure_colsweep(meta, tcodes, qfwd, cfg, n_reads, reps):
+    """Pre-staged kernel rate of the column-sweep path (the engine
+    default for this regime since round 3)."""
+    import jax.numpy as jnp
+
+    from agatha_tpu.ops import colsweep as cs
+
+    gb = meta.shape[0]
+    assert gb % 128 == 0, "stage a 128-multiple bucket for this probe"
+    R, Q, d_pad = cs.colsweep_shapes(meta, tcodes, qfwd, cfg)
+    meta_d = jnp.asarray(np.asarray(meta, np.int32))
+    tc = jnp.asarray(tcodes)
+    qc = jnp.asarray(qfwd)
+
+    def run():
+        return cs._colsweep_jit(meta_d, tc, qc, cfg=cfg, r_rows=R,
+                                q_cols=Q, d_pad=d_pad, interpret=False)
+
+    out = run()
+    np.asarray(out)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(reps)]
+        np.asarray(jnp.concatenate(outs))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return n_reads / best, out
+
+
 def main():
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     read_len = int(sys.argv[2]) if len(sys.argv) > 2 else 150
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    spread = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
     cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
                       slice_width=3, z_threshold=400, band_width=751)
-    enc = make_workload(n_reads, read_len, seed=77)
+    enc = make_workload(n_reads, read_len, seed=77, spread=spread)
 
     import agatha_tpu.ops.kernel as kmod
 
@@ -116,10 +150,36 @@ def main():
     assert (np.asarray(out_nb) == np.asarray(out_b)).all(), \
         "noband specialization changed results"
     print(f"noband speedup: {rate_nb/rate_b:.3f}x; results identical")
+
+    # the column-sweep kernel (pairs on lanes) — the engine's default
+    # path for this regime since round 3
+    from agatha_tpu.ops.colsweep import colsweep_eligible
+    from agatha_tpu.ops.kernel import int16_safe
+
+    safe16 = int16_safe(cfg, max_len=w + qf)
+    rate_best = rate_nb
+    if colsweep_eligible(meta, cfg, safe16):
+        rate_cs, out_cs = measure_colsweep(meta, tcodes, qfwd, cfg,
+                                           n_reads, reps)
+        assert (np.asarray(out_cs) == np.asarray(out_nb)).all(), \
+            "column-sweep changed results"
+        print(f"colsweep: {rate_cs/1e3:8.1f} k reads/s (engine "
+              f"default path; {rate_cs/rate_nb:.2f}x the antidiagonal "
+              f"kernel, results identical)", flush=True)
+        rate_best = rate_cs
+    else:
+        print("colsweep: not eligible at this length/band "
+              "(antidiagonal kernel is the engine path)", flush=True)
+
+    if read_len > 200:
+        # the 300k bar is defined on the 150 bp reference workload
+        # (VERDICT round 2 #6); longer reads carry quadratically more
+        # cells per read, so report rates without a gate here
+        return 0
     target = 300e3
-    print(f"target >= 300 k reads/s: "
-          f"{'PASS' if rate_nb >= target else 'FAIL'}")
-    return 0 if rate_nb >= target else 1
+    print(f"target >= 300 k reads/s (150 bp workload): "
+          f"{'PASS' if rate_best >= target else 'FAIL'}")
+    return 0 if rate_best >= target else 1
 
 
 if __name__ == "__main__":

@@ -89,6 +89,20 @@ def main():
             qc = encode_padded(q, qop)
             tc = encode_padded(t, top)
             pairs.append((qc, tc, len(q), len(t)))
+        # column-sweep leg: a second bucket sampled inside the
+        # eligible regime (band covers the whole rectangle) so every
+        # config class also stresses the compiled colsweep kernel
+        cs_pairs = []
+        rmax = ((cfg.band_width + 1) // 8) * 8
+        qmax = min(752, cfg.band_width + 1)
+        if rmax >= 8 and qmax >= 8:
+            for _ in range(16):
+                q = rseq(rng, int(rng.integers(1, qmax + 1)))
+                t = mutate(rng, q)[:rmax] or "A"
+                cs_pairs.append((
+                    encode_padded(q), encode_padded(t), len(q), len(t)
+                ))
+
         meta, tcodes, qfwd = build_bucket_arrays(pairs, cfg)
         force = bool(rng.integers(0, 2))
         out = np.asarray(
@@ -152,6 +166,28 @@ def main():
                         round_bad += 1
                         print(f"TB CIGAR BAD round={rd} pair={p} "
                               f"score={score}")
+        if cs_pairs:
+            from agatha_tpu.ops.colsweep import (
+                align_bucket_colsweep,
+                colsweep_eligible,
+            )
+            from agatha_tpu.ops.kernel import int16_safe as i16
+
+            cmeta, ctc, cqf = build_bucket_arrays(cs_pairs, cfg)
+            cw = ctc.shape[1] * (2 if ctc.dtype == np.uint8 else 1)
+            cqw = cqf.shape[1] * (2 if cqf.dtype == np.uint8 else 1)
+            if colsweep_eligible(cmeta, cfg,
+                                 i16(cfg, max_len=cw + cqw)):
+                cso = np.asarray(
+                    align_bucket_colsweep(cmeta, ctc, cqf, cfg)
+                )
+                ref = np.asarray(align_bucket(cmeta, ctc, cqf, cfg))
+                n_cs = len(cs_pairs)
+                total += n_cs
+                nb = int((cso[:n_cs] != ref[:n_cs]).any(axis=1).sum())
+                if nb:
+                    bad += nb
+                    print(f"COLSWEEP MISMATCH round={rd}: {nb} rows")
         bad += round_bad
         print(f"round {rd + 1}/{rounds} "
               f"(bw={cfg.band_width}, z={cfg.z_threshold}, "

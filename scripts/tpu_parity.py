@@ -125,6 +125,27 @@ def main():
                        len(t)))
     if not check_tb(npairs, cfg, "noband+traceback"):
         return 1
+
+    # column-sweep kernel (pairs on lanes), COMPILED, on the same
+    # short-read bucket: the engine's score path for this regime
+    from agatha_tpu.ops.colsweep import (
+        align_bucket_colsweep,
+        colsweep_eligible,
+    )
+    from agatha_tpu.ops.kernel import int16_safe
+
+    nmeta, ntc, nqf = build_bucket_arrays(npairs, cfg)
+    w = ntc.shape[1] * (2 if ntc.dtype == np.uint8 else 1)
+    qf = nqf.shape[1] * (2 if nqf.dtype == np.uint8 else 1)
+    assert colsweep_eligible(nmeta, cfg,
+                             int16_safe(cfg, max_len=w + qf))
+    csout = np.asarray(align_bucket_colsweep(nmeta, ntc, nqf, cfg))
+    plain_n = np.asarray(align_bucket(nmeta, ntc, nqf, cfg))
+    if not (csout == plain_n).all():
+        bad = np.argwhere((csout != plain_n).any(axis=1))[:5]
+        print(f"FAIL: colsweep != plain at rows {bad.ravel().tolist()}")
+        return 1
+    print(f"colsweep(compiled) == plain: {plain_n.shape[0]} rows OK")
     return 0
 
 
