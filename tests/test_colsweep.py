@@ -193,7 +193,9 @@ def test_engine_colsweep_skips_ineligible(rng, monkeypatch):
         raise AssertionError("colsweep dispatched on ineligible bucket")
 
     monkeypatch.setattr(csmod, "align_bucket_colsweep", boom)
-    q = random_seq(rng, 600)
+    # eligibility at band 751 admits lengths <= 752; 900 bp is
+    # unambiguously past it regardless of what mutate() does to rlen
+    q = random_seq(rng, 900)
     t = mutate(rng, q)
     enc = [(encode_padded(q), encode_padded(t), len(q), len(t))]
     res = AlignEngine(CANON, interpret=True).align(enc)
