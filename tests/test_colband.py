@@ -1,0 +1,123 @@
+"""Banded column-sweep contract vs the oracle.
+
+The NumPy banded column sweep (ops/colband.py) is the semantic
+contract for the long-read Pallas kernel: on int16-safe inputs it must
+reproduce align_one_sweep — scores, end positions, terminations —
+bit-exactly, with the band/slice/chunk clipping ACTIVE (the regime
+ops/colsweep.py's eligibility gate excludes).  The hole-detector
+doubles as the proof obligation for the kernel's plain-weight E form:
+it fires whenever a column's computed set is not one contiguous row
+interval.
+"""
+
+import numpy as np
+import pytest
+
+from agatha_tpu.config import AlignConfig
+from agatha_tpu.ops.colband import (
+    align_one_colband_np,
+    first_empty_slice,
+)
+from agatha_tpu.ops.kernel import int16_safe
+from agatha_tpu.ops.packing import encode_padded
+from agatha_tpu.ops.sweep import align_one_sweep
+
+from .conftest import mutate, random_seq
+
+CANON = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                    slice_width=3, z_threshold=400, band_width=751)
+# Small bands against moderate lengths hit the same clip geometry as
+# the canonical band against 10 kb reads, at test-speed sizes.
+CONFIGS = [
+    CANON,
+    AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                slice_width=3, z_threshold=400, band_width=31),
+    AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                slice_width=3, z_threshold=20, band_width=101),
+    AlignConfig(match=2, mismatch=3, gap_open=5, gap_extend=1,
+                slice_width=5, z_threshold=150, band_width=55),
+    AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                slice_width=1, z_threshold=100, band_width=63),
+    AlignConfig(match=3, mismatch=5, gap_open=4, gap_extend=2,
+                slice_width=4, z_threshold=800, band_width=127),
+]
+
+
+def _pairs(rng, n=30, lo=8, hi=400):
+    out = []
+    for i in range(n):
+        ql = int(rng.integers(lo, hi))
+        q = random_seq(rng, ql, 0.03)
+        if i % 3 == 0:
+            t = random_seq(rng, int(rng.integers(lo, hi)), 0.03)
+        else:
+            t = mutate(rng, q)
+        out.append((encode_padded(q), encode_padded(t), len(q), len(t)))
+    return out
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_colband_matches_oracle(rng, cfg):
+    assert int16_safe(cfg, max_len=1024)
+    holes = []
+    for p, (qc, tc, ql, rl) in enumerate(_pairs(rng)):
+        exp = align_one_sweep(qc, tc, ql, rl, cfg)
+        got = align_one_colband_np(qc, tc, ql, rl, cfg,
+                                   collect_holes=holes)[:3]
+        assert got == tuple(exp), (p, got, tuple(exp), ql, rl)
+    assert not holes, (
+        "computed column set not a single interval: plain-weight E "
+        f"in the kernel would be wrong here ({len(holes)} columns, "
+        f"first at j={holes[0][0] if holes else None})"
+    )
+
+
+def test_colband_adversarial_shapes(rng):
+    """Extreme aspect ratios: rlen >> qlen + band and the converse
+    (the regimes where the skewed-frame analysis found disconnected
+    mask intervals in the DIAGONAL frame), plus empty-slice
+    terminations and single-base edges."""
+    shapes = [
+        (8, 400), (400, 8), (16, 391), (391, 16), (1, 200), (200, 1),
+        (9, 9), (64, 257), (257, 64), (120, 120), (33, 300), (300, 33),
+    ]
+    cfgs = [
+        AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                    slice_width=3, z_threshold=400, band_width=31),
+        AlignConfig(match=2, mismatch=3, gap_open=5, gap_extend=1,
+                    slice_width=2, z_threshold=60, band_width=15),
+        AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                    slice_width=3, z_threshold=400, band_width=751),
+    ]
+    holes = []
+    for cfg in cfgs:
+        for ql, rl in shapes:
+            q = random_seq(rng, ql, 0.05)
+            t = random_seq(rng, rl, 0.05)
+            qc, tc = encode_padded(q), encode_padded(t)
+            exp = align_one_sweep(qc, tc, ql, rl, cfg)
+            got = align_one_colband_np(qc, tc, ql, rl, cfg,
+                                       collect_holes=holes)[:3]
+            assert got == tuple(exp), (cfg.band_width, ql, rl, got,
+                                       tuple(exp))
+    assert not holes, [(j,) for j, _m in holes[:5]]
+
+
+def test_colband_hits_empty_slice():
+    """The empty-slice cap is reachable and reproduced: a target far
+    longer than query + band terminates at a slice top."""
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                      slice_width=3, z_threshold=400, band_width=15)
+    assert first_empty_slice(16, 600, cfg) is not None
+
+
+def test_colband_n_codes(rng):
+    """N bases score -N_PENALTY through the column frame too."""
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                      slice_width=3, z_threshold=400, band_width=63)
+    q = random_seq(rng, 180, 0.2)
+    t = mutate(rng, q)
+    qc, tc = encode_padded(q), encode_padded(t)
+    exp = align_one_sweep(qc, tc, len(q), len(t), cfg)
+    got = align_one_colband_np(qc, tc, len(q), len(t), cfg)[:3]
+    assert got == tuple(exp)
