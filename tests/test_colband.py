@@ -121,3 +121,49 @@ def test_colband_n_codes(rng):
     exp = align_one_sweep(qc, tc, len(q), len(t), cfg)
     got = align_one_colband_np(qc, tc, len(q), len(t), cfg)[:3]
     assert got == tuple(exp)
+
+
+def test_device_colband_matches_oracle_interpret(rng):
+    """Pallas banded column-sweep (interpret mode) vs the oracle,
+    bucket-level, including diags parity vs align_bucket."""
+    from agatha_tpu.ops.colband import align_bucket_colband
+    from agatha_tpu.ops.kernel import align_bucket, build_bucket_arrays
+
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                      slice_width=3, z_threshold=400, band_width=63)
+    pairs = _pairs(rng, n=24, lo=8, hi=300)
+    meta, tcodes, qfwd = build_bucket_arrays(pairs, cfg)
+    got = np.asarray(
+        align_bucket_colband(meta, tcodes, qfwd, cfg, interpret=True)
+    )
+    exp = np.asarray(
+        align_bucket(meta, tcodes, qfwd, cfg, interpret=True)
+    )
+    for p, (qc, tc, ql, rl) in enumerate(pairs):
+        sc = align_one_sweep(qc, tc, ql, rl, cfg)
+        assert tuple(got[p, :3]) == tuple(sc), (p, ql, rl, got[p], sc)
+    assert (got == exp).all(), np.argwhere(got != exp)
+
+
+def test_device_colband_tight_z_and_empty_slice_interpret(rng):
+    """Terminations: tight Z-drop + shapes that hit the empty-slice
+    cap, through the fused vectorized chain."""
+    from agatha_tpu.ops.colband import align_bucket_colband
+    from agatha_tpu.ops.kernel import align_bucket, build_bucket_arrays
+
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                      slice_width=3, z_threshold=20, band_width=31)
+    pairs = []
+    for ql, rl in [(16, 600), (600, 16), (200, 200), (64, 257),
+                   (1, 100), (100, 1), (300, 33), (33, 300)]:
+        q = random_seq(rng, ql, 0.05)
+        t = random_seq(rng, rl, 0.05)
+        pairs.append((encode_padded(q), encode_padded(t), ql, rl))
+    meta, tcodes, qfwd = build_bucket_arrays(pairs, cfg)
+    got = np.asarray(
+        align_bucket_colband(meta, tcodes, qfwd, cfg, interpret=True)
+    )
+    exp = np.asarray(
+        align_bucket(meta, tcodes, qfwd, cfg, interpret=True)
+    )
+    assert (got == exp).all(), np.argwhere(got != exp)
