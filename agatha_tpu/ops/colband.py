@@ -565,7 +565,12 @@ def _make_colband_kernel(cfg: AlignConfig, RW, R8pad, Qpad, G, gA, gB,
                 pr = r_abs >> 3
                 cs = jnp.maximum(0, (pr << 3) - bw) >> 3
                 ce = jnp.minimum(pql - 1, ((pr << 3) + 7 + bw) >> 3)
-                i_sl = ((pr + g) // sw) * sw
+                # (pr+g) // sw via multiply-shift: exact for
+                # 0 <= x < 2^15 (values here < (R8pad+Qpad)/8);
+                # Mosaic's signed `//` lowering measured ~8% of
+                # the whole column wall (colband_ablate fastdiv)
+                i_sl = (((pr + g) * ((1 << 16) // sw + 1))
+                        >> 16) * sw
                 ss = jnp.maximum(
                     jnp.maximum(0, i_sl - pql + 1),
                     _ctr16((i_sl << 3) + (8 - bw)),
@@ -608,7 +613,10 @@ def _make_colband_kernel(cfg: AlignConfig, RW, R8pad, Qpad, G, gA, gB,
                     top_e = jnp.where(j <= bw, -(goe + ge * j) - goe,
                                       MINUS_INF2)
 
-                    htl = _shift_down(hp, 1, 0, interpret)
+                    # raw roll: the wrapped bottom row lands at
+                    # rw 0, which the top-boundary where overwrites
+                    htl = (jnp.roll(hp, 1, axis=0) if interpret
+                           else pltpu.roll(hp, shift=1, axis=0))
                     htl = jnp.where(rw_i == 0, top_h, htl)
                     if k == 0:  # chunk starts live at j % 8 == 0 only
                         htl = jnp.where(cst_pf, MINUS_INF2, htl)
@@ -622,15 +630,16 @@ def _make_colband_kernel(cfg: AlignConfig, RW, R8pad, Qpad, G, gA, gB,
                     # interval's rising edge (exact: computed column
                     # sets are single intervals — contract
                     # hole-detector + the 251k-column scan)
-                    Ci = C.astype(_I32j)
-                    gv = jnp.where(C, temp - goe + ge_rw, _NEG_BIG)
-                    p = _shift_down(gv, 1, _NEG_BIG, interpret)
-                    redge = C & (
-                        _shift_down(Ci, 1, 0, interpret) == 0
-                    )
-                    p = jnp.where(
-                        redge, jnp.maximum(p, top_e + ge_rw - ge), p
-                    )
+                    # gv at non-computed rows carries the root:
+                    # max_k (root + ge*k) - ge*(r-1) over k < r is
+                    # attained at the last not-computed row above the
+                    # live interval = root decayed once per computed
+                    # row passed — exactly the frozen-passthrough
+                    # semantics, with no rising-edge locator ops
+                    # (the redge block measured 18% of the column
+                    # wall, colband_ablate no_redge)
+                    gv = ge_rw + jnp.where(C, temp - goe, top_e)
+                    p = _shift_down(gv, 1, top_e - ge, interpret)
                     sft = 1
                     while sft < RW:
                         p = jnp.maximum(
@@ -640,7 +649,9 @@ def _make_colband_kernel(cfg: AlignConfig, RW, R8pad, Qpad, G, gA, gB,
                     e_in = p - (ge_rw - ge)
 
                     h_new = jnp.maximum(jnp.maximum(temp, f_in), e_in)
-                    f_new = jnp.maximum(temp - goe, f_in - ge)
+                    # gv - ge_rw == temp - goe at computed rows, and
+                    # f_new is only committed where C
+                    f_new = jnp.maximum(gv - ge_rw, f_in - ge)
                     fi = jnp.where(C, f_new, f_in)
                     hp = jnp.where(C, h_new, hp)
 
@@ -651,7 +662,10 @@ def _make_colband_kernel(cfg: AlignConfig, RW, R8pad, Qpad, G, gA, gB,
                         axis=0,
                     )
                     if k:
-                        pe = _shift_down(pe, k, INT32_MIN, interpret)
+                        # raw roll: the 8-row INT32_MIN pad absorbs
+                        # the wrap for k <= 7 (no fill op needed)
+                        pe = (jnp.roll(pe, k, axis=0) if interpret
+                              else pltpu.roll(pe, shift=k, axis=0))
                     gacc = jnp.maximum(gacc, pe)
                 hprev[:, :] = hp
                 fst[:, :] = fi
