@@ -99,6 +99,13 @@ class EngineConfig:
                                    # covers every diagonal, int16-safe
                                    # — the short-read regime); 5x the
                                    # antidiagonal mapping at 150 bp
+    colband: bool = True           # use the banded column-sweep kernel
+                                   # (pairs-on-lanes, sliding row
+                                   # window) for int16-safe score-path
+                                   # buckets the full column sweep
+                                   # cannot take — the long-read banded
+                                   # regime; ~1.4x the antidiagonal
+                                   # mapping at the 10 kb headline
 
 
 def c_div_trunc(a: int, b: int) -> int:

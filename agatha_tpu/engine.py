@@ -166,10 +166,8 @@ class AlignEngine:
         # 1.5x over one big bucket on 10kb reads); aligns_per_batch
         # (-a) is an upper bound on bucket size.
         tb = max(1, self.engine_cfg.target_buckets)
-        per_bucket = min(
-            max(B_PAIRS, self.engine_cfg.aligns_per_batch),
-            max(64, -(-n // tb)),
-        )
+        cap = max(B_PAIRS, self.engine_cfg.aligns_per_batch)
+        per_bucket = min(cap, max(64, -(-n // tb)))
 
         w_need = np.empty(n, np.int64)
         q_need = np.empty(n, np.int64)
@@ -182,6 +180,26 @@ class AlignEngine:
             tad = prl + pql - 1
             i_end = -(-tad // sw) * sw
             d_need[i] = 8 * i_end + 8
+
+        # Lane-mapped kernels (colsweep/colband: pairs on the 128
+        # lanes) pad every program to a 128-pair block, so when the
+        # batch will route there, bucket sizes snap UP to 128-pair
+        # multiples (still under the -a cap) — the adaptive
+        # target-bucket split would otherwise pad e.g. 16 x 64-pair
+        # buckets to 50% lane waste.  Routing predictor: the
+        # per-bucket colband gate is int16_safe at the bucket's max
+        # min(qlen, rlen), which only grows toward the dataset max —
+        # if the dataset max passes, every bucket's gate passes.
+        if self.engine_cfg.colsweep or self.engine_cfg.colband:
+            from agatha_tpu.ops.kernel import int16_safe
+
+            score_len = int(
+                np.minimum(q_need, w_need).max()
+            ) if n else 1
+            if int16_safe(self.cfg, max_len=score_len):
+                per_bucket = min(
+                    cap, -(-per_bucket // LANE) * LANE
+                )
 
         # Sort by sweep length (the kernel's trip count), then width:
         # pairs sharing a program then terminate together.
@@ -301,31 +319,49 @@ class AlignEngine:
         cs_devs = None
         buckets = []
         pending = []
+        def rr_device():
+            """Next device in the bucket round-robin (lane-mapped
+            kernels place whole buckets: the diagonal ring + chain are
+            device-local, so bucket-granular parallelism beats sharding
+            rows)."""
+            nonlocal cs_devs
+            if cs_devs is None:
+                import jax
+
+                cs_devs = (
+                    jax.local_devices()
+                    if self.engine_cfg.use_all_devices else [None]
+                )
+                if len(cs_devs) <= 1:
+                    cs_devs = [None]
+            return cs_devs[len(pending) % len(cs_devs)]
+
         for b in self.iter_buckets(encoded):
             if not device_tb and self._colsweep_ok(b):
                 # short-read regime: the column-sweep kernel (pairs on
                 # lanes) is exact here and ~5x the antidiagonal mapping
-                # (PERF_NOTES round 3); whole buckets round-robin
-                # across local chips (the diagonal ring + chain are
-                # device-local, so bucket-granular parallelism beats
-                # sharding rows)
+                # (PERF_NOTES round 3)
                 from agatha_tpu.ops.colsweep import align_bucket_colsweep
 
-                if cs_devs is None:
-                    import jax
-
-                    cs_devs = (
-                        jax.local_devices()
-                        if self.engine_cfg.use_all_devices else [None]
-                    )
-                    if len(cs_devs) <= 1:
-                        cs_devs = [None]
-                dev = cs_devs[len(pending) % len(cs_devs)]
                 buckets.append(b)
                 pending.append(
                     align_bucket_colsweep(
                         b.meta, b.tcodes, b.qfwd, self.cfg,
-                        interpret=self.interpret, device=dev,
+                        interpret=self.interpret, device=rr_device(),
+                    )
+                )
+            elif not device_tb and self._colband_ok(b):
+                # long-read banded regime: the banded column-sweep
+                # kernel (sliding row window, pairs on lanes) — ~1.4x
+                # the antidiagonal mapping at the 10 kb headline
+                # (PERF_NOTES round 4)
+                from agatha_tpu.ops.colband import align_bucket_colband
+
+                buckets.append(b)
+                pending.append(
+                    align_bucket_colband(
+                        b.meta, b.tcodes, b.qfwd, self.cfg,
+                        interpret=self.interpret, device=rr_device(),
                     )
                 )
             elif device_tb:
@@ -399,6 +435,32 @@ class AlignEngine:
         qf = b.qfwd.shape[1] * wire
         return colsweep_eligible(
             b.meta, self.cfg, int16_safe(self.cfg, max_len=w + qf)
+        )
+
+    def _colband_ok(self, b: _Bucket) -> bool:
+        """True when the banded column-sweep kernel serves this bucket.
+
+        Requires `EngineConfig.colband` plus the int16-safe regime and
+        VMEM envelope (colband_eligible) — the band geometry itself
+        needs no check: the slice/chunk/band clipping is implemented.
+        Checked after `_colsweep_ok` (the full column sweep is faster
+        where its band-coverage condition holds); device traceback
+        keeps the antidiagonal kernel (the flag-emitting variant).
+        """
+        if not self.engine_cfg.colband:
+            return False
+        from agatha_tpu.ops.colband import colband_eligible
+        from agatha_tpu.ops.kernel import int16_safe
+
+        # The positive int16 bound is over achievable scores: any
+        # cell's H is at most match * min(qlen, rlen) (a prefix
+        # alignment consumes at most that many matches) — the same
+        # bound _validate enforces for the (H<<16)|r packing.  The
+        # wire-width sum colsweep uses would reject 10-16 kb buckets
+        # that are comfortably in-range at match=1.
+        score_len = int(np.minimum(b.meta[:, 0], b.meta[:, 1]).max())
+        return colband_eligible(
+            b.meta, self.cfg, int16_safe(self.cfg, max_len=score_len)
         )
 
     def _local_mesh(self):

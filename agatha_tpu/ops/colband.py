@@ -151,6 +151,39 @@ def _top_init(col, cfg):
     return h, e
 
 
+def colband_eligible(meta: np.ndarray, cfg: AlignConfig,
+                     safe16: bool) -> bool:
+    """True when the banded column-sweep kernel may serve a bucket.
+
+    Unlike colsweep there is no band-coverage requirement — the
+    slice/chunk/band clipping is implemented.  Requirements:
+
+    * the int16-safe regime (``int16_safe``): the strip truncations the
+      kernel omits are identities;
+    * the sliding window fits the kernel's VMEM budget: scratch is
+      ~4 planes of (RW, 128) int32 plus the unrolled group body's
+      temporaries (measured ~12 MB at RW = 1536 under the 96 MB
+      scoped-vmem limit) — RW <= 4096 keeps the total under ~45 MB
+      and admits every BASELINE config including the ONT wide band
+      (bw = 2001 -> RW = 4048).
+
+    The plain-weight E form additionally needs every column's computed
+    row set to be one contiguous interval; the length-derived clips
+    can never break a column (ss's ``i - pql + 1`` term and se's
+    ``prl - 1`` / ``i + sw - 1`` terms are vacuous for real columns —
+    see tests/test_colband.py), so the property is a function of
+    (band_width, slice_width) geometry alone and is verified by the
+    hole-detector scans in tests/test_colband.py across the stress
+    config classes.
+    """
+    if not safe16:
+        return False
+    bw = cfg.band_width
+    LEAD = -(-(bw + 16) // 8) * 8
+    RW = -(-(LEAD + bw + 16) // 8) * 8
+    return RW <= 4096
+
+
 def align_one_colband_np(q_codes, t_codes, qlen, rlen, cfg: AlignConfig,
                          collect_holes: list | None = None):
     """NumPy banded column sweep of one pair; must match

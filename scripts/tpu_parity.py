@@ -146,6 +146,36 @@ def main():
         print(f"FAIL: colsweep != plain at rows {bad.ravel().tolist()}")
         return 1
     print(f"colsweep(compiled) == plain: {plain_n.shape[0]} rows OK")
+
+    # banded column-sweep kernel (pairs on lanes, sliding row window),
+    # COMPILED, on the banded regimes the engine routes to it: the
+    # small-band long-target bucket (active clipping + empty-slice
+    # caps) and the canonical-band mixed bucket
+    from agatha_tpu.ops.colband import (
+        align_bucket_colband,
+        colband_eligible,
+    )
+
+    for label, (bpairs, bcfg) in {
+        "colband small-band": (wpairs, wcfg),
+        "colband canonical": (pairs, cfg),
+    }.items():
+        bmeta, btc, bqf = build_bucket_arrays(bpairs, bcfg)
+        bw_ = btc.shape[1] * (2 if btc.dtype == np.uint8 else 1)
+        bqf_ = bqf.shape[1] * (2 if bqf.dtype == np.uint8 else 1)
+        assert colband_eligible(
+            bmeta, bcfg, int16_safe(bcfg, max_len=bw_ + bqf_)
+        )
+        cbout = np.asarray(
+            align_bucket_colband(bmeta, btc, bqf, bcfg)
+        )
+        plain_b = np.asarray(align_bucket(bmeta, btc, bqf, bcfg))
+        if not (cbout == plain_b).all():
+            bad = np.argwhere((cbout != plain_b).any(axis=1))[:5]
+            print(f"FAIL: {label} != plain at rows "
+                  f"{bad.ravel().tolist()}")
+            return 1
+        print(f"{label}(compiled) == plain: {plain_b.shape[0]} rows OK")
     return 0
 
 

@@ -197,18 +197,78 @@ def test_mixed_windowed_and_full_buckets(rng):
 
 def test_target_buckets_splits_without_changing_results(rng):
     """EngineConfig.target_buckets controls the adaptive bucket count
-    (floor 64 pairs/bucket); results are split-invariant."""
+    (floor 64 pairs/bucket with the lane-mapped kernels disabled);
+    results are split-invariant."""
     cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2)
     enc = []
     for i in range(256):
         s = random_seq(rng, 24 + (i % 40))
         t = mutate(rng, s)
         enc.append((encode_padded(s), encode_padded(t), len(s), len(t)))
-    r2 = AlignEngine(cfg, EngineConfig(target_buckets=2),
+    off = dict(colsweep=False, colband=False)
+    r2 = AlignEngine(cfg, EngineConfig(target_buckets=2, **off),
                      interpret=True).align(enc)
-    r4 = AlignEngine(cfg, EngineConfig(target_buckets=4),
+    r4 = AlignEngine(cfg, EngineConfig(target_buckets=4, **off),
                      interpret=True).align(enc)
     assert r2.n_buckets == 2 and r4.n_buckets == 4
     assert (r2.scores == r4.scores).all()
     assert (r2.query_ends == r4.query_ends).all()
     assert (r2.target_ends == r4.target_ends).all()
+
+
+def test_bucket_size_snaps_to_lane_block(rng):
+    """When the batch will route to a lane-mapped kernel (128 pairs per
+    program), the adaptive split snaps bucket sizes to 128-pair
+    multiples so programs carry no padding lanes — and the -a cap
+    still binds."""
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2)
+    enc = []
+    for i in range(256):
+        s = random_seq(rng, 24 + (i % 40))
+        t = mutate(rng, s)
+        enc.append((encode_padded(s), encode_padded(t), len(s), len(t)))
+    eng = AlignEngine(cfg, EngineConfig(target_buckets=4),
+                      interpret=True)
+    sizes = [len(b.indices) for b in eng.iter_buckets(enc)]
+    assert sizes == [128, 128]  # 64-pair split snapped up
+    capped = AlignEngine(cfg, EngineConfig(target_buckets=4,
+                                           aligns_per_batch=8),
+                         interpret=True)
+    assert all(len(b.indices) <= 8 for b in capped.iter_buckets(enc))
+
+
+def test_engine_routes_colband_and_matches(rng, monkeypatch):
+    """Long banded pairs route through the banded column-sweep kernel
+    (spy-asserted) and match the antidiagonal engine bit-for-bit,
+    including diags, across the 8-device round-robin collect path."""
+    import agatha_tpu.ops.colband as cb
+
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                      z_threshold=400, band_width=63)
+    enc = []
+    for i in range(40):
+        ql = int(rng.integers(100, 400))
+        q = random_seq(rng, ql, 0.02)
+        t = mutate(rng, q) if i % 2 else random_seq(
+            rng, int(rng.integers(100, 400)), 0.02
+        )
+        enc.append((encode_padded(q), encode_padded(t), len(q), len(t)))
+
+    calls = []
+    orig = cb.align_bucket_colband
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(cb, "align_bucket_colband", spy)
+    on = AlignEngine(cfg, EngineConfig(), interpret=True).align(enc)
+    assert calls, "colband path not taken"
+    off = AlignEngine(
+        cfg, EngineConfig(colband=False, colsweep=False),
+        interpret=True,
+    ).align(enc)
+    assert (on.scores == off.scores).all()
+    assert (on.query_ends == off.query_ends).all()
+    assert (on.target_ends == off.target_ends).all()
+    assert (on.diags == off.diags).all()
