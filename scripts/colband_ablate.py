@@ -24,50 +24,83 @@ from agatha_tpu.utils.workload import make_workload  # noqa: E402
 SRC = os.path.join(os.path.dirname(__file__), "..",
                    "agatha_tpu", "ops", "colband.py")
 
+_EMIT = """                    packed = (h_new << 16) + r_abs
+                    packed = jnp.where(C, packed, jnp.int32(INT32_MIN))
+                    pe = jnp.concatenate(
+                        [packed, jnp.full((8, LN), INT32_MIN, _I32j)],
+                        axis=0,
+                    )
+                    if k:
+                        # raw roll: the 8-row INT32_MIN pad absorbs
+                        # the wrap for k <= 7 (no fill op needed)
+                        pe = (jnp.roll(pe, k, axis=0) if interpret
+                              else pltpu.roll(pe, shift=k, axis=0))
+                    gacc = jnp.maximum(gacc, pe)"""
+
 PATCHES = {
     "base": [],
-    # per-group slice/chunk algebra replaced by constants
-    "no_groupmask": [(
-        "                i_sl = ((pr + g) // sw) * sw",
-        "                i_sl = pr + g  # ABLATED",
-    )],
-    # int division by slice_width via multiply-shift (values < 2^15)
-    "fastdiv": [(
-        "                i_sl = ((pr + g) // sw) * sw",
-        "                i_sl = (((pr + g) * (65536 // sw + 1)) >> 16)"
-        " * sw  # PATCH",
-    )],
-    # fused chain off (ring still written + rolled)
-    "no_chain": [(
-        "                carry = _vchain(seg, d0, scal, carry, z, ge,"
-        " interpret)",
-        "                pass  # ABLATED",
-    )],
-    # E rising-edge root injection off
-    "no_redge": [(
-        "                    p = jnp.where(\n"
-        "                        redge, jnp.maximum(p, top_e + ge_rw"
-        " - ge), p\n"
-        "                    )",
-        "                    del redge  # ABLATED",
-    )],
-    # E prefix reduced to one level
+    # E prefix reduced to one level (the log2(RW) shift-max chain)
     "no_prefix": [(
         "                    while sft < RW:",
         "                    while sft < 2:  # ABLATED",
     )],
-    # ring emission off (packed/skew/merge)
-    "no_ring": [(
-        "                    gacc = jnp.maximum(gacc, pe)",
-        "                    gacc = jnp.maximum(gacc, gacc)  # ABLATED",
+    # per-column packed emit (pack/where/concat/skew-roll/merge) off
+    "no_emit": [(
+        _EMIT,
+        "                    gacc = jnp.maximum(gacc, jnp.concatenate("
+        "\n                        [h_new, jnp.full((8, LN), INT32_MIN,"
+        " _I32j)],\n                        axis=0))  # ABLATED",
     )],
-    # band test + C combine replaced by a constant mask
-    "no_colmask": [(
+    # skew roll only (emit stays)
+    "no_skew": [(
+        "                        pe = (jnp.roll(pe, k, axis=0) if"
+        " interpret\n"
+        "                              else pltpu.roll(pe, shift=k,"
+        " axis=0))",
+        "                        pe = pe + 0  # ABLATED",
+    )],
+    # fused chain + ring shift off (emit stays)
+    "no_ring_all": [(
+        "                carry = _vchain(seg, d0, scal, carry, z, ge,"
+        " interpret)",
+        "                pass  # ABLATED",
+    ), (
+        "                ring[:, :] = _shift_up(ring[:, :], c,"
+        " INT32_MIN,\n"
+        "                                       interpret)",
+        "                pass  # ABLATED",
+    )],
+    # window slide (hprev/fst/tmw shifts) off; DMAs stay
+    "no_slide": [(
+        "                    hprev[:, :] = _shift_up(hprev[:, :], 8,"
+        " MINUS_INF2,\n"
+        "                                            interpret)\n"
+        "                    fst[:, :] = _shift_up(fst[:, :], 8,"
+        " MINUS_INF2,\n"
+        "                                          interpret)",
+        "                    pass  # ABLATED",
+    ), (
+        "                    tmw[:, :] = _shift_up(tmw[:, :], 8, 0,"
+        " interpret)",
+        "                    pass  # ABLATED",
+    )],
+    # per-group slice/chunk algebra down to a trivial surrogate
+    "no_groupmask": [(
+        "                i_sl = (((pr + g) * ((1 << 16) // sw + 1))\n"
+        "                        >> 16) * sw",
+        "                i_sl = pr + g  # ABLATED",
+    )],
+    # per-column band test + substitution selects off
+    "no_colmasks": [(
         "                    band = (r_abs >= j - bw) & (r_abs <= j"
         " + bw)\n"
         "                    C = (yg | (xg & band)) & colm",
-        "                    C = yg | xg  # ABLATED\n"
-        "                    del colm",
+        "                    C = (yg | xg) & colm  # ABLATED",
+    ), (
+        "                    s = jnp.where(qb == tmat, sub_m, sub_x)\n"
+        "                    s = jnp.where(qb == N_VALUE, -N_PENALTY,"
+        " s)",
+        "                    s = qb + sub_m  # ABLATED",
     )],
 }
 
