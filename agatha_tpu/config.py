@@ -99,13 +99,18 @@ class EngineConfig:
                                    # covers every diagonal, int16-safe
                                    # — the short-read regime); 5x the
                                    # antidiagonal mapping at 150 bp
-    colband: bool = True           # use the banded column-sweep kernel
+    colband: bool = False          # use the banded column-sweep kernel
                                    # (pairs-on-lanes, sliding row
                                    # window) for int16-safe score-path
                                    # buckets the full column sweep
-                                   # cannot take — the long-read banded
-                                   # regime; ~1.4x the antidiagonal
-                                   # mapping at the 10 kb headline
+                                   # cannot take.  OFF by default:
+                                   # measured SLOWER than the
+                                   # antidiagonal mapping end-to-end
+                                   # (1332 ms vs 486 ms at the 1024x
+                                   # 10 kb headline, plus ~195 s
+                                   # compile per shape — PERF_NOTES
+                                   # round 5).  Kept as an opt-in
+                                   # experimental mapping; bit-exact.
 
 
 def c_div_trunc(a: int, b: int) -> int:

@@ -172,7 +172,9 @@ class AlignEngine:
         w_need = np.empty(n, np.int64)
         q_need = np.empty(n, np.int64)
         d_need = np.empty(n, np.int64)
+        lens = np.empty((n, 2), np.int32)
         for i, (_qc, _tc, ql, rl) in enumerate(encoded):
+            lens[i] = (ql, rl)
             pql = -(-ql // 8)
             prl = -(-rl // 8)
             w_need[i] = prl * 8
@@ -181,32 +183,36 @@ class AlignEngine:
             i_end = -(-tad // sw) * sw
             d_need[i] = 8 * i_end + 8
 
-        # Lane-mapped kernels (colsweep/colband: pairs on the 128
-        # lanes) pad every program to a 128-pair block, so when the
-        # batch will route there, bucket sizes snap UP to 128-pair
-        # multiples (still under the -a cap) — the adaptive
-        # target-bucket split would otherwise pad e.g. 16 x 64-pair
-        # buckets to 50% lane waste.  Routing predictor: the
-        # per-bucket colband gate is int16_safe at the bucket's max
-        # min(qlen, rlen), which only grows toward the dataset max —
-        # if the dataset max passes, every bucket's gate passes.
-        if self.engine_cfg.colsweep or self.engine_cfg.colband:
-            from agatha_tpu.ops.kernel import int16_safe
-
-            score_len = int(
-                np.minimum(q_need, w_need).max()
-            ) if n else 1
-            if int16_safe(self.cfg, max_len=score_len):
-                per_bucket = min(
-                    cap, -(-per_bucket // LANE) * LANE
-                )
-
         # Sort by sweep length (the kernel's trip count), then width:
         # pairs sharing a program then terminate together.
         order = np.lexsort((w_need, d_need))
 
-        for lo in range(0, n, per_bucket):
-            idx = order[lo : lo + per_bucket]
+        # Lane-mapped kernels (colsweep/colband: pairs on the 128
+        # lanes) pad every program to a 128-pair block, so a chunk
+        # that will route there snaps UP to a 128-pair multiple
+        # (still under the -a cap) — the adaptive target-bucket
+        # split would otherwise pad e.g. 16 x 64-pair buckets to 50%
+        # lane waste.  Decided PER CHUNK, mirroring the per-bucket
+        # routing predicates on the chunk's own lengths: a chunk the
+        # lane-mapped gates reject (e.g. long reads with colband off)
+        # keeps the tuned target_buckets split.  Sorting makes
+        # eligibility effectively a prefix property (the gates are
+        # monotone in pair length), so mixed batches snap their
+        # short-read prefix only.
+        snap = min(cap, -(-per_bucket // LANE) * LANE)
+        probe_snap = (
+            snap > per_bucket
+            and (self.engine_cfg.colsweep or self.engine_cfg.colband)
+        )
+
+        lo = 0
+        while lo < n:
+            take = per_bucket
+            if probe_snap and self._chunk_lane_mapped(
+                    lens[order[lo : lo + snap]]):
+                take = snap
+            idx = order[lo : lo + take]
+            lo += take
             w = _round_shape(int(w_need[idx].max()))
             # program height depends on bucket width (narrow buckets
             # pack more pairs per program to amortize fixed costs)
@@ -352,9 +358,11 @@ class AlignEngine:
                 )
             elif not device_tb and self._colband_ok(b):
                 # long-read banded regime: the banded column-sweep
-                # kernel (sliding row window, pairs on lanes) — ~1.4x
-                # the antidiagonal mapping at the 10 kb headline
-                # (PERF_NOTES round 4)
+                # kernel (sliding row window, pairs on lanes).
+                # Opt-in only (EngineConfig.colband, default False):
+                # measured slower than the antidiagonal mapping
+                # end-to-end at the 10 kb headline (PERF_NOTES
+                # round 5), retained as an experimental mapping.
                 from agatha_tpu.ops.colband import align_bucket_colband
 
                 buckets.append(b)
@@ -414,6 +422,40 @@ class AlignEngine:
                     )
                 )
         return buckets, pending
+
+    def _chunk_lane_mapped(self, lens: np.ndarray) -> bool:
+        """Predict whether a chunk would route to a lane-mapped kernel.
+
+        ``lens`` is the chunk's (k, 2) [qlen, rlen] array.  Mirrors
+        `_colsweep_ok` / `_colband_ok` before the bucket arrays exist,
+        using the same padded widths the bucket builder will produce,
+        so the 128-pair snap only fires on chunks that will actually
+        pad to 128-lane programs.
+        """
+        from agatha_tpu.ops.kernel import int16_safe
+
+        meta = np.ascontiguousarray(lens, np.int32)
+        if self.engine_cfg.colsweep:
+            from agatha_tpu.ops.colsweep import colsweep_eligible
+
+            w = _round_shape(int((8 * (-(-meta[:, 1] // 8))).max()))
+            qf = max(
+                3 * LANE,
+                _round_shape(int((8 * (-(-meta[:, 0] // 8))).max())),
+            )
+            if colsweep_eligible(
+                    meta, self.cfg,
+                    int16_safe(self.cfg, max_len=w + qf)):
+                return True
+        if self.engine_cfg.colband:
+            from agatha_tpu.ops.colband import colband_eligible
+
+            score_len = int(np.minimum(meta[:, 0], meta[:, 1]).max())
+            if colband_eligible(
+                    meta, self.cfg,
+                    int16_safe(self.cfg, max_len=score_len)):
+                return True
+        return False
 
     def _colsweep_ok(self, b: _Bucket) -> bool:
         """True when the column-sweep kernel is exact for this bucket.

@@ -601,7 +601,8 @@ def _make_colband_kernel(cfg: AlignConfig, RW, R8pad, Qpad, G, gA, gB,
                 # (pr+g) // sw via multiply-shift: exact for
                 # 0 <= x < 2^15 (values here < (R8pad+Qpad)/8);
                 # Mosaic's signed `//` lowering measured ~8% of
-                # the whole column wall (colband_ablate fastdiv)
+                # the whole column wall (round-4 colband_ablate
+                # `fastdiv` variant, since removed from the script)
                 i_sl = (((pr + g) * ((1 << 16) // sw + 1))
                         >> 16) * sw
                 ss = jnp.maximum(
@@ -670,7 +671,8 @@ def _make_colband_kernel(cfg: AlignConfig, RW, R8pad, Qpad, G, gA, gB,
                     # row passed — exactly the frozen-passthrough
                     # semantics, with no rising-edge locator ops
                     # (the redge block measured 18% of the column
-                    # wall, colband_ablate no_redge)
+                    # wall — round-4 colband_ablate `no_redge`
+                    # variant, since removed from the script)
                     gv = ge_rw + jnp.where(C, temp - goe, top_e)
                     p = _shift_down(gv, 1, top_e - ge, interpret)
                     sft = 1

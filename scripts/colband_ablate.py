@@ -9,14 +9,13 @@ raw and overhead-corrected.
 
 Usage: python scripts/colband_ablate.py [n_pairs] [mean_len] [reps]
 """
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import importlib.util
 import os
 import sys
 import time
 
 import numpy as np
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from agatha_tpu.config import AlignConfig  # noqa: E402
 from agatha_tpu.utils.workload import make_workload  # noqa: E402
@@ -44,7 +43,9 @@ PATCHES = {
         "                    while sft < RW:",
         "                    while sft < 2:  # ABLATED",
     )],
-    # per-column packed emit (pack/where/concat/skew-roll/merge) off
+    # per-column packed emit: pack/where/skew-roll off (a
+    # jnp.concatenate + jnp.maximum merge is retained as an anti-DCE
+    # anchor keeping h_new live, so the delta excludes concat/merge)
     "no_emit": [(
         _EMIT,
         "                    gacc = jnp.maximum(gacc, jnp.concatenate("
@@ -151,7 +152,8 @@ def main():
                 np.asarray(o)
             best = min(best, (time.perf_counter() - t0) / reps)
         shp = mod.colband_shapes(meta, cfg)
-        cols = (meta.shape[0] // 128) * shp[2]
+        # programs pad to 128-lane blocks: ceil, not floor
+        cols = (-(-meta.shape[0] // 128)) * shp[2]
         ns = best / cols * 1e9
         if base_ns is None:
             base_ns = ns

@@ -22,11 +22,11 @@ Exits non-zero and prints the first counterexample if any column's
 computed set has a hole.
 """
 
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")  # repo root, when run unpackaged
 
 from agatha_tpu.ops.colband import slice_bounds_np  # noqa: E402
 

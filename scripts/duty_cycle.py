@@ -10,6 +10,7 @@ time-slicing) on the serving chip — see PERF_NOTES.md.
 
 Usage: python scripts/duty_cycle.py [G] [reps]
 """
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import sys
 
 

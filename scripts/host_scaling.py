@@ -18,6 +18,7 @@ interpreter+import+init startup, which is per-job, not per-batch).
 
 Usage: python scripts/host_scaling.py [n_pairs] [read_len]
 """
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import json
 import os
 import socket

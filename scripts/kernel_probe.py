@@ -8,6 +8,7 @@ PERF_NOTES.md.
 
 Usage: python scripts/kernel_probe.py [G]
 """
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import importlib.util
 import os
 import sys

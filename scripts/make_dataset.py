@@ -7,6 +7,7 @@ The reference's bundled dataset is stripped from this mount
 workload stands in.
 """
 
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import os
 import sys
 

@@ -20,6 +20,7 @@ Usage: python scripts/shortread_rate.py [n_reads] [read_len] [REPS]
 round-2/3 history at 150 bp; the reference's Illumina datasets are
 fixed-length, so 0.05 models them better at 300/600 bp.)
 """
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import importlib.util
 import os
 import sys

@@ -27,6 +27,7 @@ land near the production kernel's (~215 ns at W=1152 / ~190 at W=1024).
 
 Usage: python scripts/skew_probe.py [G] [DIAGS]
 """
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import sys
 import time
 

@@ -8,6 +8,7 @@ memory (test_prog.cpp load phase); this path bounds peak RSS by the
 
 Usage: python scripts/stream_scale.py [n_pairs] [read_len] [chunk]
 """
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import resource
 import sys
 import time

@@ -15,6 +15,7 @@ Usage: python scripts/stress.py [n_rounds] [seed] [--traceback]
 Exits non-zero on any mismatch.
 """
 
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import sys
 
 

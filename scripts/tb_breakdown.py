@@ -16,6 +16,7 @@ are pointless if the tunnel fetch dominates, and vice versa).
 
 Usage: python scripts/tb_breakdown.py [n_pairs] [read_len] [reps]
 """
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import sys
 import time
 

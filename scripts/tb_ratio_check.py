@@ -18,6 +18,7 @@ timing.
 
 Usage: python scripts/tb_ratio_check.py [n_pairs] [read_len] [--mode host]
 """
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import sys
 
 

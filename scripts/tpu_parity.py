@@ -14,6 +14,7 @@
 
 Exits non-zero on any mismatch.
 """
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import sys
 
 

@@ -16,6 +16,7 @@ per-substep cost:
 Run on synthetic flags of production shape (256 x 10 kb bucket).
 Usage: python scripts/walk_probe.py [GB] [planes] [reps]
 """
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import importlib.util
 import os
 import sys

@@ -31,6 +31,7 @@ Reports ns/substep/wave for waves=1,2,4 at (32,256) [the production
 short-read shape] plus a (64,256) single-wave control (the flat-B
 finding) and the implied 150 bp read rate.
 """
+import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
 import sys
 import time
 

@@ -237,6 +237,41 @@ def test_bucket_size_snaps_to_lane_block(rng):
     assert all(len(b.indices) <= 8 for b in capped.iter_buckets(enc))
 
 
+def test_snap_decided_per_chunk_not_per_dataset(rng):
+    """The 128-pair snap mirrors the per-bucket routing gates on each
+    chunk's own lengths (round-4 review item 7): long banded chunks —
+    not lane-mapped while colband is off — keep the tuned
+    target_buckets split even though the dataset is int16-safe; the
+    same chunks snap once colband is opted in; and a mixed batch snaps
+    only its lane-mapped short-read prefix."""
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                      z_threshold=400, band_width=63)
+    longs = []
+    for i in range(256):
+        s = random_seq(rng, 600 + (i % 50))
+        t = mutate(rng, s)
+        longs.append((encode_padded(s), encode_padded(t),
+                      len(s), len(t)))
+    eng = AlignEngine(cfg, EngineConfig(target_buckets=4),
+                      interpret=True)
+    assert [len(b.indices) for b in eng.iter_buckets(longs)] == [64] * 4
+
+    on = AlignEngine(cfg, EngineConfig(target_buckets=4, colband=True),
+                     interpret=True)
+    assert [len(b.indices) for b in on.iter_buckets(longs)] == [128] * 2
+
+    shorts = []
+    for i in range(128):
+        s = random_seq(rng, 24 + (i % 17))
+        t = mutate(rng, s)
+        shorts.append((encode_padded(s), encode_padded(t),
+                       len(s), len(t)))
+    sizes = [len(b.indices) for b in eng.iter_buckets(shorts + longs)]
+    # tuned per_bucket = 96, snap = 128: the colsweep-eligible
+    # short-read prefix snaps; long chunks keep the tuned size
+    assert sizes == [128, 96, 96, 64]
+
+
 def test_engine_routes_colband_and_matches(rng, monkeypatch):
     """Long banded pairs route through the banded column-sweep kernel
     (spy-asserted) and match the antidiagonal engine bit-for-bit,
@@ -262,7 +297,9 @@ def test_engine_routes_colband_and_matches(rng, monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(cb, "align_bucket_colband", spy)
-    on = AlignEngine(cfg, EngineConfig(), interpret=True).align(enc)
+    on = AlignEngine(
+        cfg, EngineConfig(colband=True), interpret=True
+    ).align(enc)
     assert calls, "colband path not taken"
     off = AlignEngine(
         cfg, EngineConfig(colband=False, colsweep=False),
