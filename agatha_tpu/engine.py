@@ -69,6 +69,9 @@ class AlignmentResult:
     kernel_ms: float = 0.0    # wall-clock of the dispatch+gather window
     cigars: list[str] | None = None  # when traceback was requested
     bucket_ms: list[float] | None = None  # per-bucket completion deltas
+    routes: list[str] | None = None  # per-bucket kernel that served it
+                                     # (anti/anti-sharded/colsweep/
+                                     # colband/walk)
 
 
 @dataclasses.dataclass
@@ -314,8 +317,9 @@ class AlignEngine:
         With device traceback each bucket's emit-flags kernel is
         immediately followed by its on-device walk, so CIGAR extraction
         overlaps the next bucket's scoring on the chip and the flag
-        bitmap (donated to the walk) is freed bucket by bucket — peak
-        flag HBM stays ~one bucket regardless of batch size.
+        bitmap (whose only reference dies inside
+        align_bucket_traceback) is freed bucket by bucket — peak flag
+        HBM stays ~one bucket regardless of batch size.
         """
         device_tb = (
             traceback and self.engine_cfg.traceback_mode == "device"
@@ -325,6 +329,8 @@ class AlignEngine:
         cs_devs = None
         buckets = []
         pending = []
+        routes = []
+
         def rr_device():
             """Next device in the bucket round-robin (lane-mapped
             kernels place whole buckets: the diagonal ring + chain are
@@ -350,6 +356,7 @@ class AlignEngine:
                 from agatha_tpu.ops.colsweep import align_bucket_colsweep
 
                 buckets.append(b)
+                routes.append("colsweep")
                 pending.append(
                     align_bucket_colsweep(
                         b.meta, b.tcodes, b.qfwd, self.cfg,
@@ -366,6 +373,7 @@ class AlignEngine:
                 from agatha_tpu.ops.colband import align_bucket_colband
 
                 buckets.append(b)
+                routes.append("colband")
                 pending.append(
                     align_bucket_colband(
                         b.meta, b.tcodes, b.qfwd, self.cfg,
@@ -390,6 +398,7 @@ class AlignEngine:
                     # its own flag-kernel + walk pipeline concurrently
                     dev = tb_devs[len(pending) % len(tb_devs)]
                     buckets.append(sb)
+                    routes.append("walk")
                     pending.append(
                         align_bucket_traceback(
                             sb.meta, sb.tcodes, sb.qfwd, self.cfg,
@@ -405,6 +414,7 @@ class AlignEngine:
                 unit = mesh.devices.size * B_PAIRS
                 gb = -(-b.meta.shape[0] // unit) * unit
                 buckets.append(b)
+                routes.append("anti-sharded")
                 pending.append(
                     align_bucket_sharded(
                         pad_rows(b.meta, gb, 1),
@@ -415,12 +425,14 @@ class AlignEngine:
                 )
             else:
                 buckets.append(b)
+                routes.append("anti")
                 pending.append(
                     align_bucket(
                         b.meta, b.tcodes, b.qfwd, self.cfg,
                         interpret=self.interpret,
                     )
                 )
+        self._last_routes = routes
         return buckets, pending
 
     def _chunk_lane_mapped(self, lens: np.ndarray) -> bool:
@@ -718,6 +730,7 @@ class AlignEngine:
             scores, qends, tends, diags,
             n_buckets=len(buckets), kernel_ms=ms, cigars=cigars,
             bucket_ms=bucket_ms,
+            routes=getattr(self, "_last_routes", None),
         )
 
     def align_pairs(self, pairs: list[SeqPair]) -> AlignmentResult:

@@ -214,6 +214,31 @@ def traceback(
     raise RuntimeError(f"native traceback failed with rc={rc}")
 
 
+def _path_band_excursion(cigar: str) -> int:
+    """Max |r - q| along a query-centric CIGAR path from (0, 0).
+
+    Only D/I runs change the r - q offset (M consumes both), and the
+    offset is monotone within a run, so checking after each run is
+    exact.  Used to attribute traceback-vs-kernel score mismatches:
+    a path that exits the scoring band was invisible to the kernel's
+    boundary-block band mask by construction.
+    """
+    off = 0
+    mx = 0
+    num = 0
+    for ch in cigar:
+        if "0" <= ch <= "9":
+            num = num * 10 + ord(ch) - 48
+            continue
+        if ch == "D":
+            off += num
+        elif ch == "I":
+            off -= num
+        mx = max(mx, abs(off))
+        num = 0
+    return mx
+
+
 def traceback_adaptive(
     q_codes: np.ndarray,
     t_codes: np.ndarray,
@@ -248,18 +273,36 @@ def traceback_adaptive(
             "reachable inside the region"
         )
     if rc == 1:
-        # Accepted at the widest window with achieved != expected:
-        # legitimate only when the kernel score wrapped int16 (outside
-        # the int16_safe regime) — otherwise it signals a scoring
-        # mismatch, so make it observable instead of silent.
-        import warnings
-
-        warnings.warn(
-            f"traceback score {int(score[0])} != kernel-reported "
-            f"{expected_score} at the widest window (q_end={q_end}, "
-            f"t_end={t_end}); expected only in int16-wrap regimes",
-            RuntimeWarning, stacklevel=2,
+        # Accepted at the widest window with achieved != expected.
+        # Two band-geometry regimes explain a mismatch and are NOT
+        # engine bugs (tests/test_traceback.py
+        # test_band_exempt_end_stale_carry):
+        #   * band-exempt end (|q_end-t_end| > bw): the reference's
+        #     boundary-block band test SKIPS out-of-band cells while
+        #     retaining their stale H (agatha_kernel.h:236-239
+        #     `continue` keeps the previous column's value in the
+        #     register), so the kernel score can include stale-carry
+        #     values no genuine affine path reproduces;
+        #   * achieved > expected along a path that exits the band:
+        #     the walk window is deliberately wider than the scoring
+        #     band, so it can see genuine paths the kernel's band
+        #     mask hid.
+        # Anything else signals a scoring mismatch (legitimate only
+        # under int16 wrap, outside int16_safe) — make it observable.
+        cig = buf.value.decode("ascii")
+        explained = abs(q_end - t_end) > cfg.band_width or (
+            int(score[0]) > expected_score
+            and _path_band_excursion(cig) > cfg.band_width
         )
+        if not explained:
+            import warnings
+
+            warnings.warn(
+                f"traceback score {int(score[0])} != kernel-reported "
+                f"{expected_score} at the widest window (q_end={q_end}, "
+                f"t_end={t_end}); expected only in int16-wrap regimes",
+                RuntimeWarning, stacklevel=2,
+            )
     elif rc != 0:
         raise RuntimeError(f"native adaptive traceback rc={rc}")
     return buf.value.decode("ascii"), int(score[0])
@@ -323,19 +366,6 @@ def traceback_batch(
             f"{bad[:5].tolist()}: kernel-reported end positions are "
             "not reachable inside the region"
         )
-    mismatched = np.flatnonzero(rcs == 1)
-    if mismatched.size:
-        # rc 1: widest-window acceptance with achieved != expected
-        # (see traceback_adaptive) — aggregate one warning per batch.
-        import warnings
-
-        warnings.warn(
-            f"{mismatched.size} pair(s) {mismatched[:5].tolist()} "
-            "produced a traceback score different from the kernel-"
-            "reported score at the widest window; expected only in "
-            "int16-wrap regimes",
-            RuntimeWarning, stacklevel=2,
-        )
     bad = np.flatnonzero((rcs != 0) & (rcs != 1))
     if bad.size:
         raise RuntimeError(
@@ -347,6 +377,31 @@ def traceback_batch(
         row = cigars[i]
         end = int(np.argmin(row)) if row[-1] == 0 else per_cap
         out.append(row[:end].tobytes().decode("ascii"))
+    mismatched = np.flatnonzero(rcs == 1)
+    if mismatched.size:
+        # rc 1: widest-window acceptance with achieved != expected
+        # (see traceback_adaptive).  Band-geometry regimes explain a
+        # mismatch and stay silent: band-exempt ends (the reference's
+        # stale-carry regime) and higher-scoring genuine paths that
+        # exit the band (invisible to the kernel's band mask).  Warn
+        # only on the unexplained remainder.
+        bw = cfg.band_width
+        unexplained = [
+            int(i) for i in mismatched
+            if abs(int(qe[i]) - int(te[i])) <= bw
+            and not (int(scores[i]) > int(exp[i])
+                     and _path_band_excursion(out[i]) > bw)
+        ]
+        if unexplained:
+            import warnings
+
+            warnings.warn(
+                f"{len(unexplained)} pair(s) {unexplained[:5]} "
+                "produced a traceback score different from the kernel-"
+                "reported score at the widest window; expected only in "
+                "int16-wrap regimes",
+                RuntimeWarning, stacklevel=2,
+            )
     return out
 
 

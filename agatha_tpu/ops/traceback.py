@@ -55,7 +55,14 @@ def traceback_one(
     Returns (cigar, path_score).  ``path_score`` is the plain affine
     score of the region and equals the kernel's reported score whenever
     the int16 strip round-trips were value-preserving (always true in
-    the `int16_safe` regime).
+    the `int16_safe` regime) AND the end is in-band.  At band-exempt
+    ends (|q_end - t_end| > band_width) the reference's boundary-block
+    band test skips out-of-band cells while retaining their stale H
+    (agatha_kernel.h:236-239), so the reported score can include
+    stale-carry values no genuine affine path reproduces; the CIGAR is
+    then the best genuine path to the reported end and ``path_score``
+    may be lower (tests/test_traceback.py
+    test_band_exempt_end_stale_carry).
 
     When ``expected_score`` is 0 and ends are (0, 0), the kernel result
     may be its never-updated initial state ("no positive-scoring

@@ -88,7 +88,7 @@ def vbase_schedule(n_planes: int, cfg: AlignConfig, wt: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _walk_jit(flags, vbases, ends):
     """flags (GB, P, W) int32, vbases (P,) int32, ends (GB, 2)
     int32 [q_end, t_end] -> move words (P, GB) int32.
@@ -344,7 +344,6 @@ def _make_walk_kernel(Bw: int, W: int, P: int, NW: int,
 
 @functools.partial(
     jax.jit, static_argnames=("planes", "w_state", "n_chains"),
-    donate_argnums=(0,),
 )
 def _walk_pallas_jit(flags, vbases, ends, *, planes, w_state,
                      n_chains=None):
@@ -418,8 +417,11 @@ def align_bucket_traceback(
     host array — plane sizing is static).  Returns ``(out, words)``
     where ``out`` is the usual (GB, 4) result and ``words`` the (P, GB)
     move words (device array; fetch + decode with `decode_moves`).
-    The flag bitmap is donated to the walk, so its HBM is released as
-    soon as the walk runs.
+    The flag bitmap's only reference dies when this function returns,
+    so its HBM is released once the walk has consumed it.  (It is NOT
+    donated: the walk's word output is far smaller than the bitmap,
+    so XLA can never alias the two and a donate annotation would just
+    be silently ignored with a warning.)
 
     ``device``: optional jax device to pin the whole pipeline to —
     inputs are device_put there and the flag kernel + walk follow,

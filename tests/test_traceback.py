@@ -101,6 +101,70 @@ def test_end_position_outside_band(rng):
     assert found, "no out-of-band end case generated; widen the search"
 
 
+def test_band_exempt_end_stale_carry():
+    """At a band-exempt end (|q_end - t_end| > bw) the kernel-reported
+    score can include stale-carry values: the reference's boundary-
+    block band test skips out-of-band cells but keeps their stale H in
+    the register (agatha_kernel.h:236-239 `continue`), so leaked
+    values feed later diagonals.  Pinned counterexample: a clean
+    full-rectangle affine DP (every cell computed, same boundary
+    inits) proves no genuine path reaches the reported score — the
+    traceback must return the best genuine path WITHOUT warning."""
+    import warnings
+
+    from agatha_tpu.constants import MINUS_INF2, N_PENALTY, N_VALUE
+
+    cfg = AlignConfig(match=2, mismatch=3, gap_open=2, gap_extend=1,
+                      band_width=1)
+    q = "TTCCCACGCTGGGTCGGTGG"
+    t = "GACCGCGCCGCAGTGGGTC"
+    qc, tc = encode_padded(q), encode_padded(t)
+    score, q_end, t_end = align_one_sweep(qc, tc, len(q), len(t), cfg)
+    assert (score, q_end, t_end) == (2, 15, 9)
+    assert abs(q_end - t_end) > cfg.band_width  # band-exempt end
+
+    # clean full-rectangle DP with the reference recurrence
+    # (E/F re-open from the diagonal candidate) and boundary inits
+    goe, ge, bw = cfg.gap_oe, cfg.gap_extend, cfg.band_width
+    NEG = -(10 ** 9)
+    ql, rl = len(q), len(t)
+    H = np.full((rl + 1, ql + 1), NEG, np.int64)
+    E = np.full((rl + 1, ql + 1), NEG, np.int64)
+    F = np.full((rl + 1, ql + 1), NEG, np.int64)
+    H[0, 0] = 0
+    for l in range(max(ql, rl)):
+        h = -(goe + ge * l) if l <= bw else MINUS_INF2
+        if l < ql:
+            H[0, l + 1] = h
+            E[0, l + 1] = h - goe if l <= bw else MINUS_INF2
+        if l < rl:
+            H[l + 1, 0] = h
+            F[l + 1, 0] = h - goe if l <= bw else MINUS_INF2
+    for r in range(rl):
+        for c in range(ql):
+            qb, tb = int(qc[c]), int(tc[r])
+            s = (-N_PENALTY if N_VALUE in (qb, tb)
+                 else (cfg.match if qb == tb else -cfg.mismatch))
+            temp = H[r][c] + s
+            ev = max(temp - goe, E[r][c + 1] - ge)
+            fv = max(temp - goe, F[r + 1][c] - ge)
+            H[r + 1][c + 1] = max(temp, ev, fv)
+            E[r + 1][c + 1] = ev
+            F[r + 1][c + 1] = fv
+    genuine_best = int(H[t_end + 1][q_end + 1])
+    assert genuine_best < score  # the reported 2 is leak-borne
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning fails the test
+        cigar, tb_score = traceback_one(
+            qc, tc, q_end, t_end, cfg, expected_score=score
+        )
+    assert cigar != ""
+    qc_n, tc_n = cigar_to_pairs(cigar)
+    assert qc_n == q_end + 1 and tc_n == t_end + 1
+    assert tb_score < score  # best genuine path, honestly reported
+
+
 def test_native_traceback_matches_python(rng):
     """The C++ traceback must equal the NumPy reference exactly."""
     import agatha_tpu.native as nv
