@@ -103,14 +103,16 @@ class EngineConfig:
                                    # (pairs-on-lanes, sliding row
                                    # window) for int16-safe score-path
                                    # buckets the full column sweep
-                                   # cannot take.  OFF by default:
-                                   # measured SLOWER than the
-                                   # antidiagonal mapping end-to-end
-                                   # (1332 ms vs 486 ms at the 1024x
-                                   # 10 kb headline, plus ~195 s
-                                   # compile per shape — PERF_NOTES
-                                   # round 5).  Kept as an opt-in
-                                   # experimental mapping; bit-exact.
+                                   # cannot take.  OFF by default: a
+                                   # wash with the antidiagonal
+                                   # mapping end-to-end at the 1024 x
+                                   # 10 kb headline (492 vs 474 ms
+                                   # after its dispatch plumbing was
+                                   # fixed; kernel-only 39.0
+                                   # GCUPS-equiv — PERF_NOTES round 5
+                                   # "3.7x gap, decomposed").  Kept as
+                                   # an opt-in experimental mapping;
+                                   # bit-exact.
 
 
 def c_div_trunc(a: int, b: int) -> int:

@@ -170,7 +170,7 @@ class AlignEngine:
         # (-a) is an upper bound on bucket size.
         tb = max(1, self.engine_cfg.target_buckets)
         cap = max(B_PAIRS, self.engine_cfg.aligns_per_batch)
-        per_bucket = min(cap, max(64, -(-n // tb)))
+        base = min(cap, -(-n // tb))
 
         w_need = np.empty(n, np.int64)
         q_need = np.empty(n, np.int64)
@@ -190,6 +190,31 @@ class AlignEngine:
         # pairs sharing a program then terminate together.
         order = np.lexsort((w_need, d_need))
 
+        def chunk_pairs(lo: int) -> int:
+            """Pairs for the chunk starting at sorted position lo.
+
+            The tuned ~target_buckets split (``base``) used to be
+            clamped to a hard 64-pair floor, which at small long-read
+            batches collapses the split entirely: the ONT config
+            (128 x ~75 kb, 37.5-112.5 kb spread) got 2 buckets whose
+            pairs sweep to the bucket max — ~25% dead sweep.  The
+            floor's real purpose is per-dispatch amortization, so make
+            it work-adaptive: a bucket must carry roughly
+            TARGET_BUCKET_NS of estimated device time (the measured
+            per-bucket wall of the tuned headline split, 16 x 64 pairs
+            x 10 kb ~= 30 ms; per-substep cost ~190 ns, PERF_NOTES
+            instruction audit), never more than the old 64 floor.
+            d_need[order[lo]] is the chunk's SHORTEST pair (ascending
+            sort), so the estimate errs toward larger buckets.
+            """
+            SUBSTEP_NS = 190
+            TARGET_BUCKET_NS = 30e6
+            pair_ns = max(1, int(d_need[order[lo]]) * SUBSTEP_NS // 8)
+            work_floor = -(-int(TARGET_BUCKET_NS // pair_ns) //
+                           B_PAIRS) * B_PAIRS
+            floor = max(B_PAIRS, min(64, work_floor))
+            return min(cap, max(floor, base))
+
         # Lane-mapped kernels (colsweep/colband: pairs on the 128
         # lanes) pad every program to a 128-pair block, so a chunk
         # that will route there snaps UP to a 128-pair multiple
@@ -202,17 +227,17 @@ class AlignEngine:
         # eligibility effectively a prefix property (the gates are
         # monotone in pair length), so mixed batches snap their
         # short-read prefix only.
-        snap = min(cap, -(-per_bucket // LANE) * LANE)
-        probe_snap = (
-            snap > per_bucket
-            and (self.engine_cfg.colsweep or self.engine_cfg.colband)
+        lane_kernels = (
+            self.engine_cfg.colsweep or self.engine_cfg.colband
         )
 
         lo = 0
         while lo < n:
-            take = per_bucket
-            if probe_snap and self._chunk_lane_mapped(
-                    lens[order[lo : lo + snap]]):
+            take = chunk_pairs(lo)
+            snap = min(cap, -(-take // LANE) * LANE)
+            if (snap > take and lane_kernels
+                    and self._chunk_lane_mapped(
+                        lens[order[lo : lo + snap]])):
                 take = snap
             idx = order[lo : lo + take]
             lo += take
@@ -367,9 +392,11 @@ class AlignEngine:
                 # long-read banded regime: the banded column-sweep
                 # kernel (sliding row window, pairs on lanes).
                 # Opt-in only (EngineConfig.colband, default False):
-                # measured slower than the antidiagonal mapping
-                # end-to-end at the 10 kb headline (PERF_NOTES
-                # round 5), retained as an experimental mapping.
+                # a wash with the antidiagonal mapping end-to-end at
+                # the 10 kb headline once its dispatch plumbing was
+                # fixed (492 vs 474 ms — PERF_NOTES round 5 "3.7x
+                # gap, decomposed"), retained as an experimental
+                # mapping.
                 from agatha_tpu.ops.colband import align_bucket_colband
 
                 buckets.append(b)

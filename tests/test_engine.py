@@ -216,6 +216,42 @@ def test_target_buckets_splits_without_changing_results(rng):
     assert (r2.target_ends == r4.target_ends).all()
 
 
+def test_bucket_floor_is_work_adaptive(rng):
+    """The split's per-bucket floor scales with per-pair sweep work.
+
+    Short pairs keep the tuned 64-pair floor (so tiny buckets never
+    drown in per-dispatch overhead), but long pairs — where a single
+    pair already carries milliseconds of device work — may form
+    smaller buckets so the sorted split tracks the length spread.
+    Round-5 motivation: the ONT config (128 x ~75 kb, wide spread) got
+    exactly 2 buckets from the hard 64 floor, ~25% dead sweep;
+    measured 1166 -> 1068 ms after this change (PERF_NOTES round 5).
+    Only the split is asserted here (host-side); split-invariance of
+    results is covered by test_target_buckets_splits_*.
+    """
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2)
+
+    def enc_of(n, length):
+        out = []
+        for i in range(n):
+            s = random_seq(rng, length + (i % 7))
+            out.append((encode_padded(s), encode_padded(s),
+                        len(s), len(s)))
+        return out
+
+    eng = AlignEngine(cfg, EngineConfig(colsweep=False, colband=False),
+                      interpret=True)
+    # ~40 kb pairs: one pair ~ 1.9 ms of sweep -> 16-pair floor
+    sizes_long = [len(b.indices)
+                  for b in eng.iter_buckets(enc_of(128, 40000))]
+    assert len(sizes_long) >= 8, sizes_long
+    assert all(s >= 8 for s in sizes_long)
+    # short pairs: the 64 floor holds even at target_buckets=16
+    sizes_short = [len(b.indices)
+                   for b in eng.iter_buckets(enc_of(128, 100))]
+    assert sizes_short == [64, 64], sizes_short
+
+
 def test_bucket_size_snaps_to_lane_block(rng):
     """When the batch will route to a lane-mapped kernel (128 pairs per
     program), the adaptive split snaps bucket sizes to 128-pair
