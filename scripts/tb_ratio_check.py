@@ -16,6 +16,17 @@ flatter the ratio (an early round-2 measurement made that mistake and
 reported 1.13x).  Both paths are warmed (compile excluded) before
 timing.
 
+The gate is TUNNEL-AWARE (round 5): the traceback path fetches
+megabytes of move-words through the serving tunnel, so its wall is
+sensitive to the tunnel's download bandwidth in a way the score path
+(tiny results) is not.  The 2.0x gate was calibrated in round 3 on a
+tunnel delivering ~0.3 s for an all-at-once 1024 x 10 kb word blob
+(~70-100 MB/s); on 2026-08-20 the same code (58eca84) measured 2.31x
+with the tunnel at 25 ms/call + 39 MB/s.  The script therefore probes
+the tunnel first and exits 2 (tunnel-degraded, not a code regression)
+when the gate fails with a degraded tunnel (bw < 80 MB/s or
+floor > 35 ms).
+
 Usage: python scripts/tb_ratio_check.py [n_pairs] [read_len] [--mode host]
 """
 import _path  # noqa: F401  (repo-root shim, scripts/_path.py)
@@ -46,6 +57,31 @@ def mutate(rng, seq, sub=0.05, ins=0.03, dele=0.03):
         if rng.random() < ins:
             out.append(bases[rng.integers(0, 4)])
     return "".join(out) or "A"
+
+
+def tunnel_health():
+    """(call_floor_ms, bandwidth_MBps) of the device->host fetch path.
+
+    Warm best-of-3 on a 64 KB fetch (the per-call floor) and an 8 MB
+    fetch (bandwidth); `y + 1` forces a fresh computation so no cached
+    host copy can be returned.
+    """
+    import jax.numpy as jnp
+
+    def best_fetch(shape):
+        y = jnp.ones(shape, jnp.int32)
+        np.asarray(y)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(y + 1)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    floor_s = best_fetch((16, 1024))
+    big_s = best_fetch((2048, 1024))
+    bw = 8.0 / max(big_s - floor_s, 1e-9)
+    return floor_s * 1e3, bw
 
 
 def main():
@@ -90,9 +126,24 @@ def main():
                 == r2.scores[i])
     print("cigar invariants OK")
     if mode == "device":
+        ok = ratio <= 2.0
         print(f"gate: measured ratio {ratio:.2f}x <= 2.0x "
-              f"({'PASS' if ratio <= 2.0 else 'FAIL'})")
-        return 0 if ratio <= 2.0 else 1
+              f"({'PASS' if ok else 'FAIL'})")
+        if ok:
+            return 0
+        floor_ms, bw = tunnel_health()
+        degraded = bw < 80.0 or floor_ms > 35.0
+        print(f"tunnel: {floor_ms:.0f} ms/call floor, {bw:.0f} MB/s "
+              f"fetch bandwidth (round-3 calibration: ~25 ms, "
+              f"~70-100 MB/s)")
+        if degraded:
+            print("verdict: TUNNEL-DEGRADED — the word-fetch tax "
+                  "explains the overshoot; re-run when the tunnel "
+                  "recovers before attributing to code (round-3 code "
+                  "58eca84 measured 2.31x on the same degraded "
+                  "tunnel, 2026-08-20)")
+            return 2
+        return 1
     # host engine: informational <= 3x budget, threads across cores
     return 0 if ratio <= 3.0 else 1
 
