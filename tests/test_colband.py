@@ -103,6 +103,50 @@ def test_colband_adversarial_shapes(rng):
     assert not holes, [(j,) for j, _m in holes[:5]]
 
 
+def test_chain_scalars_matches_slice_loop(rng):
+    """The vectorized first-empty-slice scan in chain_scalars equals
+    the per-slice loop it replaced (round 5: the loop cost 24-65 ms of
+    host time per bucket and serialized every colband dispatch).
+
+    The loop reimplementation here is the pre-vectorization formula,
+    kept as the executable spec.
+    """
+    from agatha_tpu.ops.colband import chain_scalars, slice_bounds_np
+
+    def chain_scalars_loop(meta, cfg):
+        sw, bw = cfg.slice_width, cfg.band_width
+        meta = np.asarray(meta, np.int64)
+        qlen, rlen = meta[:, 0], meta[:, 1]
+        pql = -(-qlen // 8)
+        prl = -(-rlen // 8)
+        i_end = -(-(pql + prl - 1) // sw) * sw
+        i_end8 = 8 * i_end
+        end_p = i_end8 + 8
+        i_max = int(i_end.max()) if meta.shape[0] else 0
+        for islice in range(0, i_max, sw):
+            ss, se = slice_bounds_np(islice, pql, prl, sw, bw)
+            hit = (islice < i_end) & (ss > se) & (end_p == i_end8 + 8)
+            end_p = np.where(hit, 8 * islice, end_p)
+        out = np.zeros((8, meta.shape[0]), np.int32)
+        out[0], out[1], out[2] = qlen, rlen, i_end8
+        out[3], out[4] = qlen + rlen - 1, end_p
+        return out
+
+    for cfg in CONFIGS:
+        # extreme aspect ratios reach empty slices; tiny pairs reach
+        # the i_max == 0 path
+        meta = np.stack([
+            rng.integers(1, 800, 96),
+            rng.integers(1, 800, 96),
+        ], axis=1).astype(np.int32)
+        meta[:8, 0] = 1
+        meta[8:16, 1] = 1
+        got = chain_scalars(meta, cfg)
+        want = chain_scalars_loop(meta, cfg)
+        assert np.array_equal(got, want), cfg
+    assert chain_scalars(np.zeros((0, 2), np.int32), CANON).shape == (8, 0)
+
+
 def test_colband_hits_empty_slice():
     """The empty-slice cap is reachable and reproduced: a target far
     longer than query + band terminates at a slice top."""
