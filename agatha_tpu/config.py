@@ -81,7 +81,12 @@ class EngineConfig:
                                    # 2/4/8/16 buckets = 647/504/485/
                                    # 473 ms, 32 flat, 64 regresses;
                                    # aligns_per_batch still bounds
-                                   # bucket SIZE, floor 64 pairs)
+                                   # bucket SIZE; the per-bucket floor
+                                   # is work-adaptive — ~30 ms of
+                                   # estimated device work, at most
+                                   # 64 pairs, as low as 8 for long
+                                   # reads — engine.py chunk_pairs,
+                                   # round 5)
     traceback_mode: str = "device" # "device": emit-flags kernel + on-
                                    # device walk (CIGAR cost scales with
                                    # the chip); "host": the AVX-512

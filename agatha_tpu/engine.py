@@ -159,9 +159,17 @@ class AlignEngine:
         return list(self.iter_buckets(encoded))
 
     def iter_buckets(
-        self, encoded: list[tuple[np.ndarray, np.ndarray, int, int]]
+        self, encoded: list[tuple[np.ndarray, np.ndarray, int, int]],
+        lane_kernels_ok: bool = True,
     ):
-        """Yield buckets one at a time so dispatch overlaps packing."""
+        """Yield buckets one at a time so dispatch overlaps packing.
+
+        ``lane_kernels_ok=False`` tells the split that no bucket can
+        route to a lane-mapped kernel regardless of the gates (the
+        device-traceback path walks every bucket through the
+        flag-emitting antidiagonal kernel), so the 128-pair snap never
+        fires and the tuned target_buckets split is kept.
+        """
         n = len(encoded)
         sw = self.cfg.slice_width
         # Adaptive bucket size: ~target_buckets buckets pipeline host
@@ -227,7 +235,7 @@ class AlignEngine:
         # eligibility effectively a prefix property (the gates are
         # monotone in pair length), so mixed batches snap their
         # short-read prefix only.
-        lane_kernels = (
+        lane_kernels = lane_kernels_ok and (
             self.engine_cfg.colsweep or self.engine_cfg.colband
         )
 
@@ -290,9 +298,11 @@ class AlignEngine:
                                    else None)
         self._validate(encoded)
         t0 = time.perf_counter()
-        buckets, pending = self._dispatch(encoded, traceback=traceback)
+        buckets, pending, routes = self._dispatch(
+            encoded, traceback=traceback
+        )
         return self._collect(
-            encoded, buckets, pending, t0,
+            encoded, buckets, pending, t0, routes=routes,
             traceback=traceback, per_bucket_times=per_bucket_times,
         )
 
@@ -373,7 +383,8 @@ class AlignEngine:
                     cs_devs = [None]
             return cs_devs[len(pending) % len(cs_devs)]
 
-        for b in self.iter_buckets(encoded):
+        for b in self.iter_buckets(encoded,
+                                   lane_kernels_ok=not device_tb):
             if not device_tb and self._colsweep_ok(b):
                 # short-read regime: the column-sweep kernel (pairs on
                 # lanes) is exact here and ~5x the antidiagonal mapping
@@ -459,8 +470,7 @@ class AlignEngine:
                         interpret=self.interpret,
                     )
                 )
-        self._last_routes = routes
-        return buckets, pending
+        return buckets, pending, routes
 
     def _chunk_lane_mapped(self, lens: np.ndarray) -> bool:
         """Predict whether a chunk would route to a lane-mapped kernel.
@@ -633,6 +643,7 @@ class AlignEngine:
     def _collect(
         self, encoded, buckets, pending, t0, *,
         traceback: bool, per_bucket_times: bool = False,
+        routes: list[str] | None = None,
     ) -> AlignmentResult:
         """Fetch dispatched results, reorder, and run traceback.
 
@@ -757,7 +768,11 @@ class AlignEngine:
             scores, qends, tends, diags,
             n_buckets=len(buckets), kernel_ms=ms, cigars=cigars,
             bucket_ms=bucket_ms,
-            routes=getattr(self, "_last_routes", None),
+            # threaded through from _dispatch (NOT instance state:
+            # align_stream keeps several dispatched chunks in flight,
+            # and a shared attribute would attach the last chunk's
+            # routes to every earlier chunk's result)
+            routes=routes,
         )
 
     def align_pairs(self, pairs: list[SeqPair]) -> AlignmentResult:
@@ -793,9 +808,10 @@ class AlignEngine:
         window: deque = deque()
 
         def drain_one():
-            encoded, buckets, pending, t0 = window.popleft()
+            encoded, buckets, pending, t0, routes = window.popleft()
             return self._collect(
-                encoded, buckets, pending, t0, traceback=traceback
+                encoded, buckets, pending, t0, routes=routes,
+                traceback=traceback,
             )
 
         while True:
@@ -808,8 +824,10 @@ class AlignEngine:
             )
             self._validate(encoded)
             t0 = time.perf_counter()
-            buckets, pending = self._dispatch(encoded, traceback=traceback)
-            window.append((encoded, buckets, pending, t0))
+            buckets, pending, routes = self._dispatch(
+                encoded, traceback=traceback
+            )
+            window.append((encoded, buckets, pending, t0, routes))
             if len(window) >= max_in_flight:
                 yield drain_one()
         while window:

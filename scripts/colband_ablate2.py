@@ -3,22 +3,25 @@
 colband_ablate.py times align_bucket_colband end-to-end, which the
 round-5 decomposition (scripts/colband_kernelrate.py) showed is ~65%
 per-dispatch plumbing — its deltas were swamped.  This variant times
-the PURE KERNEL: pre-staged device arrays, in-jit rep chain through an
-unused smeta row (pallas is opaque to XLA, so the reps serialize), and
-the same source-patch trick to produce timing-faithful, semantically
-wrong variants.
+the PURE KERNEL with the shared staged protocol (_colband_bench.py)
+and the same source-patch trick to produce timing-faithful,
+semantically wrong variants.
+
+Round-5 results at the canonical 128 x 10 kb bucket (PERF_NOTES
+"the colband 3.7x gap, decomposed"): base 4773 ns/col; no_prefix
+-26%; no_emit -10%; no_tdma / no_qdma / no_groupmask / no_ring_all
+all ~0 (noise-slower) — the kernel is at its structural floor.
 
 Usage: python scripts/colband_ablate2.py [n_pairs] [mean_len] [reps]
 """
 import _path  # noqa: F401
-import functools
 import importlib.util
 import os
 import sys
-import time
 
 import numpy as np
 
+import _colband_bench as cb
 from agatha_tpu.config import AlignConfig
 
 SRC = os.path.join(os.path.dirname(__file__), "..",
@@ -113,12 +116,7 @@ def main():
     mean_len = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from agatha_tpu.ops.kernel import _unpack_nibbles, build_bucket_arrays
+    from agatha_tpu.ops.kernel import build_bucket_arrays
     from agatha_tpu.utils.workload import make_workload
 
     cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
@@ -127,76 +125,20 @@ def main():
     meta, tcodes, qfwd = build_bucket_arrays(pairs, cfg)
     meta = np.asarray(meta, np.int32)
     assert meta.shape[0] % 128 == 0
+    GB = meta.shape[0]
 
     base = load_variant("base")
-    shapes = base.colband_shapes(meta, cfg)
-    RW, R8pad, Qpad, G, gA, gB, tail_steps, LEAD, WMAX = shapes
-    sm = base.chain_scalars(meta, cfg)
-    GB = meta.shape[0]
-    LN = base.LN
-
-    t = _unpack_nibbles(jnp.asarray(tcodes))
-    q = _unpack_nibbles(jnp.asarray(qfwd))
-
-    def padt(x, n):
-        return jnp.pad(x, ((0, 0), (0, n - x.shape[1]))) \
-            if x.shape[1] < n else x[:, :n]
-
-    tmat = jnp.asarray(np.asarray(padt(t, R8pad).T))
-    qmat = jnp.asarray(np.asarray(padt(q, Qpad).T))
-    smj = jnp.asarray(sm)
+    smj, tmat, qmat, shapes = cb.stage_bucket(
+        base, meta, tcodes, qfwd, cfg)
+    Qpad = shapes[2]
 
     base_ns = None
     for name in PATCHES:
         mod = load_variant(name)
-        kernel = mod._make_colband_kernel(
-            cfg, RW, R8pad, Qpad, G, gA, gB, tail_steps, LEAD, WMAX,
-            False)
-
-        def call(smeta, tm, qm):
-            return pl.pallas_call(
-                kernel,
-                grid=(GB // LN,),
-                in_specs=[
-                    pl.BlockSpec((8, LN), lambda g: (0, g),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.HBM),
-                    pl.BlockSpec(memory_space=pltpu.HBM),
-                ],
-                out_specs=pl.BlockSpec((4, LN), lambda g: (0, g),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((4, GB), jnp.int32),
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=96 * 1024 * 1024,
-                ),
-            )(smeta, tm, qm)
-
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def go(smeta, tm, qm, n, call=call):
-            def body(i, acc):
-                sm2 = smeta.at[7:8, :].set(acc[3:4, :])
-                return call(sm2, tm, qm)
-
-            return jax.lax.fori_loop(
-                0, n, body, jnp.zeros((4, GB), jnp.int32))
-
-        t0 = time.perf_counter()
-        np.asarray(go(smj, tmat, qmat, reps))
-        tc = time.perf_counter() - t0
-        np.asarray(go(smj, tmat, qmat, reps // 2))
-
-        def timeit(n):
-            best = float("inf")
-            for _ in range(4):
-                t0 = time.perf_counter()
-                np.asarray(go(smj, tmat, qmat, n))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        t_full = timeit(reps)
-        t_half = timeit(reps // 2)
-        dcols = (GB // LN) * Qpad * (reps - reps // 2)
-        ns = (t_full - t_half) / dcols * 1e9
+        call = cb.make_call(mod, cfg, shapes, GB)
+        go = cb.rep_chain(call, GB)
+        ns, tc = cb.slope_ns_per_col(
+            go, smj, tmat, qmat, reps, GB // base.LN, Qpad)
         if base_ns is None:
             base_ns = ns
         print(f"{name:14s} {ns:8.1f} ns/col ({ns/base_ns:5.2f}x base) "

@@ -61,9 +61,10 @@ def main():
     # dispatch vs collect split
     for _ in range(3):
         t0 = time.perf_counter()
-        buckets, pending = eng._dispatch(enc)
+        buckets, pending, routes = eng._dispatch(enc)
         t1 = time.perf_counter()
-        eng._collect(enc, buckets, pending, t0, traceback=False)
+        eng._collect(enc, buckets, pending, t0, routes=routes,
+                     traceback=False)
         t2 = time.perf_counter()
         print(f"dispatch {1e3*(t1-t0):7.1f} ms   collect "
               f"{1e3*(t2-t1):7.1f} ms", flush=True)

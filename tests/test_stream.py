@@ -41,6 +41,44 @@ def test_stream_matches_batch(rng):
     assert (tends == batch.target_ends).all()
 
 
+def test_stream_routes_are_per_chunk(rng):
+    """Each yielded result carries ITS chunk's routes, not the most
+    recently dispatched chunk's.
+
+    Regression (round 5): routes were read from shared instance state
+    at collect time, so with max_in_flight > 1 a short-read chunk that
+    dispatched via colsweep reported the later long-read chunks'
+    'anti' routes.  Chunk 0 here is colsweep-eligible short reads;
+    chunks 1-2 are band-escaping longer pairs that route 'anti'.
+    """
+    # colsweep at bw=31 needs band >= 8*ceil(rlen/8)-1 and qlen-1:
+    # rlen <= 4 (8*1-1 = 31) with qlen <= 32 qualifies
+    short = []
+    for i in range(8):
+        q = random_seq(rng, 20 + i)
+        t = random_seq(rng, 4)
+        short.append((encode_padded(q), encode_padded(t),
+                      len(q), len(t)))
+    cfg = AlignConfig(match=1, mismatch=4, gap_open=6, gap_extend=2,
+                      z_threshold=400, band_width=31)
+    longs = []
+    for i in range(16):
+        q = random_seq(rng, 200 + i)
+        t = mutate(rng, q)
+        longs.append((encode_padded(q), encode_padded(t),
+                      len(q), len(t)))
+    engine = AlignEngine(cfg, EngineConfig(aligns_per_batch=8),
+                         interpret=True)
+    chunks = list(engine.align_stream(iter(short + longs),
+                                      max_in_flight=3))
+    assert len(chunks) == 3
+    assert chunks[0].routes == ["colsweep"], chunks[0].routes
+    for c in chunks[1:]:
+        # 'anti-sharded' on the multi-device CPU mesh, 'anti' on one
+        assert set(c.routes) <= {"anti", "anti-sharded"}, c.routes
+        assert len(c.routes) == c.n_buckets
+
+
 def test_stream_bounded_window(rng):
     """At most max_in_flight chunks may be alive before a yield."""
     enc = _encoded(rng, 8 * 10)
