@@ -410,21 +410,21 @@ def moves_to_cigars_batch(
 ) -> list[str] | None:
     """Device-walk packed move words -> CIGAR strings (one per pair).
 
-    ``words`` is the (half, gb) int32 array from ops.walk._walk_jit;
-    see agatha_moves_to_cigars in traceback.cpp for the bit layout.
-    Returns None when the native library is unavailable.
+    ``words`` is the pair-major (gb, half) int32 array from the ops.walk
+    walk jits; see agatha_moves_to_cigars in traceback.cpp for the bit
+    layout.  Returns None when the native library is unavailable.
     """
     lib = _load()
     if lib is None:
         return None
     words = np.asarray(words, np.int32)
-    half, gb = words.shape
+    gb, half = words.shape
     if gb == 0:
         return []
-    # transpose to pair-major so the C++ loop streams each pair's
-    # words sequentially (decoding the device layout directly strides
-    # gb*4 bytes per word — every access a cache miss)
-    wt = np.ascontiguousarray(words.T)
+    # pair-major is already the layout the C++ loop streams (each
+    # pair's words sequential); a fetched device array is C-contiguous
+    # so this is a no-op view, not a copy
+    wt = np.ascontiguousarray(words)
     # worst case: alternating ops, "1X" per move = 2 bytes + NUL
     per_cap = int(2 * 16 * half + 16)
     out = np.empty((gb, per_cap), np.uint8)

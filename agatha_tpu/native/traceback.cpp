@@ -159,7 +159,11 @@ int agatha_traceback(const uint8_t* qcodes, const uint8_t* tcodes,
         const int64_t fo = temp_left - goe;
         const int64_t fe = f_state - ge;
         fv = fo >= fe ? fo : fe;
-        f_open_flag = fo >= fe;
+        // the Python reference hardcodes f_from_open[0] = False at
+        // the band's left edge (ops/traceback.py); the fo/fe compare
+        // on kNeg sentinels would spuriously set it when
+        // gap_oe <= gap_extend
+        f_open_flag = (i != 0) && fo >= fe;
       }
       f_val[i] = fv;
 

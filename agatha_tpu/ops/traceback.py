@@ -35,6 +35,18 @@ from agatha_tpu.constants import MINUS_INF2, N_PENALTY, N_VALUE
 _NEG = -(10 ** 9)  # effectively -inf for path arithmetic (int64 safe)
 
 
+def _origin_score(qb: int, tb: int, cfg: AlignConfig) -> int:
+    """Substitution score of the single origin cell (0, 0).
+
+    The kernel reports score 0 / ends (0, 0) both for a genuine
+    zero-scoring origin and for its never-updated initial state; this
+    is the one scoring rule both disambiguation sites share
+    (`traceback_one`, `never_updated_indices`)."""
+    if qb == N_VALUE or tb == N_VALUE:
+        return -N_PENALTY
+    return cfg.match if qb == tb else -cfg.mismatch
+
+
 def _sub_scores(q_codes: np.ndarray, t_base: int,
                 cfg: AlignConfig) -> np.ndarray:
     s = np.where(q_codes == t_base, cfg.match, -cfg.mismatch)
@@ -70,14 +82,7 @@ def traceback_one(
     returned in that case.
     """
     if expected_score == 0 and q_end == 0 and t_end == 0:
-        qb, tb = int(q_codes[0]), int(t_codes[0])
-        if qb == N_VALUE or tb == N_VALUE:
-            h00 = -N_PENALTY
-        elif qb == tb:
-            h00 = cfg.match
-        else:
-            h00 = -cfg.mismatch
-        if h00 != 0:
+        if _origin_score(int(q_codes[0]), int(t_codes[0]), cfg) != 0:
             return "", 0
 
     # Region band: the kernel's band-exempt chunk-interior cells can
@@ -293,14 +298,7 @@ def never_updated_indices(
     out: set[int] = set()
     for i in zeroish:
         qc, tc, _ql, _rl = encoded[i]
-        qb, tb = int(qc[0]), int(tc[0])
-        if qb == N_VALUE or tb == N_VALUE:
-            h00 = -N_PENALTY
-        elif qb == tb:
-            h00 = cfg.match
-        else:
-            h00 = -cfg.mismatch
-        if h00 != 0:
+        if _origin_score(int(qc[0]), int(tc[0]), cfg) != 0:
             out.add(int(i))
     return out
 

@@ -91,10 +91,11 @@ def vbase_schedule(n_planes: int, cfg: AlignConfig, wt: int) -> np.ndarray:
 @jax.jit
 def _walk_jit(flags, vbases, ends):
     """flags (GB, P, W) int32, vbases (P,) int32, ends (GB, 2)
-    int32 [q_end, t_end] -> move words (P, GB) int32.
+    int32 [q_end, t_end] -> pair-major move words (GB, half) int32.
 
-    Word i holds plane p = P-1-i's eight 2-bit moves (bits 2k for
-    substep k): 0 none, 1 M, 2 D, 3 I, emitted path-end -> start.
+    Scan row i holds plane p = P-1-i's eight 2-bit moves (bits 2k for
+    substep k): 0 none, 1 M, 2 D, 3 I, emitted path-end -> start;
+    two 16-bit scan rows pack per int32 (low half first).
     """
     GB, P, W = flags.shape
     lane_iota = jnp.arange(W, dtype=jnp.int32)
@@ -166,7 +167,7 @@ def _walk_jit(flags, vbases, ends):
         words = jnp.concatenate(
             [words, jnp.zeros((1, GB), jnp.int32)], axis=0
         )
-    return words[0::2] | (words[1::2] << 16)
+    return (words[0::2] | (words[1::2] << 16)).T
 
 
 def _make_walk_kernel(Bw: int, W: int, P: int, NW: int,
@@ -186,7 +187,8 @@ def _make_walk_kernel(Bw: int, W: int, P: int, NW: int,
     is kept (bit-identical for every chain count, verified on chip)
     for one-flag re-probing on future Mosaic releases.
     """
-    _ = P  # plane count is encoded in the grid/out shapes
+    # P is closed over by row_plane below (word row i maps to flag
+    # plane P-1-i); the grid/out shapes encode it too
     NC = n_chains
     assert Bw % NC == 0 and (Bw // NC) % 8 == 0, (Bw, NC)
     Bc = Bw // NC
@@ -263,8 +265,6 @@ def _make_walk_kernel(Bw: int, W: int, P: int, NW: int,
             return out
 
         def run(pa, pb, wtile, sems, sem_w):
-            n_rows = 2 * NW  # includes pad rows (planes < -1: inert)
-
             def row_plane(i):
                 # word row i <-> flag plane P-1-i (path end -> start)
                 return (P - 1) - i
@@ -328,7 +328,6 @@ def _make_walk_kernel(Bw: int, W: int, P: int, NW: int,
             plane_dma(pa, jnp.int32(0), sems.at[0]).wait()
             plane_dma(pb, jnp.int32(0), sems.at[1]).wait()
             wtile_dma(wtile, jnp.int32(0), sem_w.at[0]).wait()
-            del n_rows
 
         pl.run_scoped(
             run,
@@ -349,10 +348,14 @@ def _walk_pallas_jit(flags, vbases, ends, *, planes, w_state,
                      n_chains=None):
     """Compiled walk over the flat (GB, planes*W) flag bitmap.
 
-    Returns (n_word_rows_padded/2... ) packed words in the SAME
-    (half, GB) convention as _walk_jit (padding rows are all-zero,
-    which decoders treat as inactive steps)."""
+    Returns (GB, NW) pair-major packed words, the SAME convention as
+    _walk_jit (padding columns are all-zero, which decoders treat as
+    inactive steps)."""
     GB = flags.shape[0]
+    # the Bw candidate loop below requires GB % Bw == 0; without this
+    # a 12-row bucket would truncate to grid=1 and leave rows 8..11
+    # unwalked (uninitialized HBM decoded into garbage CIGARs)
+    assert GB % 8 == 0, f"bucket rows must be a multiple of 8, got {GB}"
     # Grid programs run SEQUENTIALLY on the core and the walk's
     # per-substep wall is dominated by fixed per-substep overhead (the
     # ablation probe scripts/walk_probe.py measures the extraction
@@ -398,7 +401,12 @@ def _walk_pallas_jit(flags, vbases, ends, *, planes, w_state,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((GB, NW), jnp.int32),
     )(vbases, ends, flags)
-    return words.T
+    # pair-major (GB, NW) end-to-end: the kernel writes it, the host
+    # fetch keeps it, and the native RLE decoder streams each pair's
+    # words sequentially — the former (NW, GB) convention forced a
+    # device transpose here AND a full host copy
+    # (np.ascontiguousarray(words.T)) before every decode
+    return words
 
 
 def align_bucket_traceback(
@@ -415,7 +423,8 @@ def align_bucket_traceback(
 
     Same input contract as ops.kernel.align_bucket (meta must be a
     host array — plane sizing is static).  Returns ``(out, words)``
-    where ``out`` is the usual (GB, 4) result and ``words`` the (P, GB)
+    where ``out`` is the usual (GB, 4) result and ``words`` the
+    pair-major (GB, NW)
     move words (device array; fetch + decode with `decode_moves`).
     The flag bitmap's only reference dies when this function returns,
     so its HBM is released once the walk has consumed it.  (It is NOT
@@ -428,15 +437,15 @@ def align_bucket_traceback(
     which is how the engine round-robins traceback buckets across
     local chips (each device runs its own pipeline concurrently).
     """
-    import jax
-    import jax.numpy as jnp
-
     meta = np.asarray(meta)
     w = int(tcodes.shape[1])
     qf = int(qfwd.shape[1])
-    if np.asarray(tcodes).dtype == np.uint8:
+    # .dtype reads work on numpy AND jax arrays without a transfer
+    # (np.asarray here would fetch a pre-staged device array to host
+    # just to inspect its dtype)
+    if tcodes.dtype == np.uint8:
         w *= 2
-    if np.asarray(qfwd).dtype == np.uint8:
+    if qfwd.dtype == np.uint8:
         qf *= 2
     safe16 = (not force_strips) and int16_safe(cfg, max_len=w + qf)
     windowed = w > window_width(cfg)
@@ -472,12 +481,13 @@ def align_bucket_traceback(
 
 
 def decode_moves(words: np.ndarray) -> np.ndarray:
-    """Packed move words -> (GB, n*8) uint8 moves in path order
-    (alignment end -> start; 0 entries are inactive iterations).
+    """Pair-major packed move words (GB, half) -> (GB, n*8) uint8
+    moves in path order (alignment end -> start; 0 entries are
+    inactive iterations).
 
     The walk packs two 16-bit scan rows per int32 (low half first).
     """
-    words = np.asarray(words)
+    words = np.asarray(words).T
     half, GB = words.shape
     w = np.empty((half * 2, GB), np.int32)
     w[0::2] = words & 0xFFFF

@@ -53,10 +53,11 @@ def test_fallback_works(monkeypatch, rng):
 def test_moves_to_cigars_matches_python(rng, lib_ok):
     """Native RLE decoder vs the Python reference on random move words.
 
-    Words use the device-walk layout: (half, gb) int32, two 16-bit scan
-    rows per word (low half earlier), 2-bit moves with k=7 first in
-    path order; decoding runs backward (see agatha_moves_to_cigars).
-    Random streams include inactive (0) slots interleaved with runs.
+    Words use the device-walk layout: pair-major (gb, half) int32, two
+    16-bit scan rows per word (low half earlier), 2-bit moves with k=7
+    first in path order; decoding runs backward (see
+    agatha_moves_to_cigars).  Random streams include inactive (0)
+    slots interleaved with runs.
     """
     from agatha_tpu.ops.walk import decode_moves, moves_to_cigar
 
@@ -67,13 +68,13 @@ def test_moves_to_cigars_matches_python(rng, lib_ok):
     )
     moves[0, :] = 0          # empty CIGAR pair
     moves[1, :] = 1          # one maximal run
-    words = np.zeros((half, gb), np.int32)
+    words = np.zeros((gb, half), np.int32)
     for i in range(half):
         for sub in range(2):
             row = np.zeros(gb, np.int64)
             for k in range(8):
                 row |= moves[:, (i * 2 + sub) * 8 + k].astype(np.int64) << (2 * k)
-            words[i] |= (row << (16 * sub)).astype(np.int64).astype(np.int32)
+            words[:, i] |= (row << (16 * sub)).astype(np.int64).astype(np.int32)
     got = native.moves_to_cigars_batch(words)
     assert got is not None
     dec = decode_moves(words)

@@ -166,11 +166,19 @@ def test_band_exempt_end_stale_carry():
 
 
 def test_native_traceback_matches_python(rng):
-    """The C++ traceback must equal the NumPy reference exactly."""
+    """The C++ traceback must equal the NumPy reference exactly.
+
+    The gap_open=0 config covers the band's left-edge F-open flag:
+    with gap_oe == gap_extend the C++ engine's sentinel compare used
+    to set f_from_open at i==0 where the Python reference hardcodes
+    False (fixed round 5)."""
     import agatha_tpu.native as nv
 
     if not nv.available():
         pytest.skip("native library unavailable")
+    zero_open = AlignConfig(match=1, mismatch=4, gap_open=0,
+                            gap_extend=2, z_threshold=400,
+                            band_width=31)
     for i in range(20):
         ql = int(rng.integers(1, 250))
         q = random_seq(rng, ql, 0.03)
@@ -180,14 +188,15 @@ def test_native_traceback_matches_python(rng):
         qc = encode_padded(q)
         tc = encode_padded(t)
         qe, te = len(q) - 1, len(t) - 1
-        nat = nv.traceback(qc, tc, qe, te, CFG)
-        saved_lib, saved_tried = nv._lib, nv._tried
-        try:
-            nv._lib, nv._tried = None, True
-            py = traceback_one(qc, tc, qe, te, CFG)
-        finally:
-            nv._lib, nv._tried = saved_lib, saved_tried
-        assert nat == py, i
+        for cfg in (CFG, zero_open):
+            nat = nv.traceback(qc, tc, qe, te, cfg)
+            saved_lib, saved_tried = nv._lib, nv._tried
+            try:
+                nv._lib, nv._tried = None, True
+                py = traceback_one(qc, tc, qe, te, cfg)
+            finally:
+                nv._lib, nv._tried = saved_lib, saved_tried
+            assert nat == py, (i, cfg.gap_open)
 
 
 def test_adaptive_matches_expected_score(rng):
